@@ -1,0 +1,621 @@
+"""TPU-native bundle adjustment: Levenberg-Marquardt with Schur complement.
+
+Replaces the reference's Ceres problems (src/optim/bundle_adjustment.cc:443-1131),
+PBA (lib/PBA) and the autodiff cost functors (src/base/cost_functions.h) with a
+single batched JAX solver designed for the MXU:
+
+  residuals  : 2D reprojection per observation (any of the 11 camera models) +
+               1D weighted point-to-plane distance per 3D point against its
+               associated LiDAR plane (cost_functions.h:150-241).
+  robust loss: trivial / soft-L1 / Cauchy via IRLS sqrt-weighting
+               (bundle_adjustment.h:80-84 loss_function_type).
+  structure  : block-sparse normal equations; the point blocks (3x3) are
+               eliminated per point in closed form and the reduced camera
+               system (6 per pose [+ 6-padded intrinsics block per camera])
+               is assembled densely and solved by Cholesky — the TPU analog
+               of Ceres DENSE_SCHUR/SPARSE_SCHUR (bundle_adjustment.cc:499-512):
+               a few-hundred-camera reduced system is a small dense matrix that
+               the MXU eats for breakfast, so there is no need for sparsity.
+  damping    : classic LM with multiplicative lambda updates inside a
+               jax.lax.while_loop; the whole solve is one fused XLA program.
+
+Everything is fixed-shape: observations, tracks, and constraints are padded
+and masked, so one compiled executable serves every local-BA invocation of the
+incremental mapper.
+
+Parameterization: pose deltas are se3 tangents applied by left-multiplicative
+retraction (ops/se3.py), point deltas are Euclidean, intrinsics deltas are
+masked per-parameter (refine_focal / refine_principal / refine_extra mirroring
+BundleAdjustmentOptions, bundle_adjustment.h:66-78).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import camera_models as cm
+from . import se3
+
+Array = jax.Array
+
+LOSS_TRIVIAL = 0
+LOSS_SOFT_L1 = 1
+LOSS_CAUCHY = 2
+
+
+class BAConfig(NamedTuple):
+    """Static solve configuration (hashable; part of the jit cache key)."""
+
+    model_id: int = 1
+    loss_type: int = LOSS_TRIVIAL
+    loss_scale: float = 1.0
+    max_iterations: int = 25
+    refine_intrinsics: bool = False  # adds one padded 6-block per camera
+    refine_focal: bool = True
+    refine_principal: bool = False
+    refine_extra: bool = True
+    point_chunk: int = 512  # points per Schur assembly chunk
+    lidar_loss_robust: bool = False  # robust loss on lidar terms too
+    initial_lambda: float = 1e-4
+    min_lambda: float = 1e-10
+    max_lambda: float = 1e8
+    track_len: int = 16  # T: max observations per point in the problem
+
+
+class BAProblem(NamedTuple):
+    """Padded, fixed-shape bundle adjustment problem.
+
+    Shapes: C = image slots, K = camera (intrinsics) slots, P = point slots,
+    N = observation slots, T = cfg.track_len.
+    """
+
+    cam_q: Array  # [C,4] world-to-camera quaternion (w,x,y,z)
+    cam_t: Array  # [C,3]
+    cam_k: Array  # [C] int32 camera(intrinsics) slot per image
+    intr: Array  # [K,12] padded camera params
+    points: Array  # [P,3]
+    obs_cam: Array  # [N] int32 image slot (0 for padding)
+    obs_pt: Array  # [N] int32 point slot (0 for padding)
+    obs_uv: Array  # [N,2] pixel measurements
+    obs_valid: Array  # [N] f32 {0,1}
+    pt_obs: Array  # [P,T] int32 indices into obs arrays, -1 padded
+    lidar_plane: Array  # [P,4] (a,b,c,d), |n|=1, plane through associated lidar pt
+    lidar_w: Array  # [P] f32 constraint weight, 0 = none
+    pose_fixed: Array  # [C] f32 {0,1} — 1 freezes the full pose
+    tvec_fixed: Array  # [C,3] f32 {0,1} — per-component translation freeze
+    point_fixed: Array  # [P] f32 {0,1}
+    intr_fixed: Array  # [K] f32 {0,1} — 1 freezes that camera's intrinsics
+    num_cams: Array  # [] int32 — live image slots (<= C)
+    num_points: Array  # [] int32
+
+
+class BAResult(NamedTuple):
+    cam_q: Array
+    cam_t: Array
+    intr: Array
+    points: Array
+    initial_cost: Array
+    final_cost: Array
+    iterations: Array
+
+
+# ---------------------------------------------------------------------------
+# residuals & robust loss
+
+
+def _intr_refine_mask(cfg: BAConfig) -> jnp.ndarray:
+    """[12] mask of intrinsic params allowed to move, per refine flags."""
+    fi, fj, ci, cj = cm._FOCAL_IDX[cfg.model_id]
+    n = cm.NUM_PARAMS[cfg.model_id]
+    m = [0.0] * cm.MAX_PARAMS
+    for i in range(n):
+        if i in (fi, fj):
+            m[i] = 1.0 if cfg.refine_focal else 0.0
+        elif i in (ci, cj):
+            m[i] = 1.0 if cfg.refine_principal else 0.0
+        else:
+            m[i] = 1.0 if cfg.refine_extra else 0.0
+    return jnp.asarray(m, jnp.float32)
+
+
+def _sqrt_rho_deriv(sq_norm: Array, cfg: BAConfig) -> Array:
+    """IRLS weight sqrt(rho'(s)) for robust losses; s = squared residual norm."""
+    s = sq_norm / (cfg.loss_scale**2)
+    if cfg.loss_type == LOSS_TRIVIAL:
+        return jnp.ones_like(sq_norm)
+    if cfg.loss_type == LOSS_SOFT_L1:
+        return (1.0 + s) ** (-0.25)
+    if cfg.loss_type == LOSS_CAUCHY:
+        return (1.0 + s) ** (-0.5)
+    raise ValueError(f"unknown loss {cfg.loss_type}")
+
+
+def _rho(sq_norm: Array, cfg: BAConfig) -> Array:
+    """Robust loss value rho(s)."""
+    s = sq_norm / (cfg.loss_scale**2)
+    c2 = cfg.loss_scale**2
+    if cfg.loss_type == LOSS_TRIVIAL:
+        return sq_norm
+    if cfg.loss_type == LOSS_SOFT_L1:
+        return 2.0 * c2 * (jnp.sqrt(1.0 + s) - 1.0)
+    if cfg.loss_type == LOSS_CAUCHY:
+        return c2 * jnp.log1p(s)
+    raise ValueError(f"unknown loss {cfg.loss_type}")
+
+
+def _reproj_residual(cfg, q, t, kparams, X, uv):
+    """2-vector reprojection residual; masked to 0 behind the camera."""
+    xy, z = cm.project(cfg.model_id, kparams, q, t, X)
+    r = xy - uv
+    ok = (z > 1e-3).astype(r.dtype)
+    # clamp the residual so wild outliers cannot produce inf/nan in f32
+    r = jnp.clip(r, -1e4, 1e4)
+    return r * ok[..., None]
+
+
+def reprojection_errors(problem: BAProblem, cfg: BAConfig) -> Array:
+    """Per-observation reprojection error norms (pixels), padded entries 0."""
+    q = problem.cam_q[problem.obs_cam]
+    t = problem.cam_t[problem.obs_cam]
+    k = problem.intr[problem.cam_k[problem.obs_cam]]
+    X = problem.points[problem.obs_pt]
+    r = _reproj_residual(cfg, q, t, k, X, problem.obs_uv)
+    return jnp.linalg.norm(r, axis=-1) * problem.obs_valid
+
+
+def total_cost(
+    cam_q: Array,
+    cam_t: Array,
+    intr: Array,
+    points: Array,
+    problem: BAProblem,
+    cfg: BAConfig,
+) -> Array:
+    q = cam_q[problem.obs_cam]
+    t = cam_t[problem.obs_cam]
+    k = intr[problem.cam_k[problem.obs_cam]]
+    X = points[problem.obs_pt]
+    r = _reproj_residual(cfg, q, t, k, X, problem.obs_uv)
+    sq = jnp.sum(r * r, axis=-1) * problem.obs_valid
+    cost = jnp.sum(_rho(sq, cfg) * problem.obs_valid)
+    # lidar point-to-plane: w * (n . X + d)
+    n = problem.lidar_plane[:, :3]
+    d = problem.lidar_plane[:, 3]
+    rl = problem.lidar_w * (jnp.sum(points * n, axis=-1) + d)
+    if cfg.lidar_loss_robust:
+        cost = cost + jnp.sum(_rho(rl * rl, cfg))
+    else:
+        cost = cost + jnp.sum(rl * rl)
+    return cost
+
+
+# ---------------------------------------------------------------------------
+# jacobians
+
+
+def _obs_jacobians(problem: BAProblem, cfg: BAConfig, cam_q, cam_t, intr, points):
+    """Per-observation residuals and Jacobians at delta = 0.
+
+    Returns r [N,2], Jc [N,2,6] (pose tangent), Jp [N,2,3] (point),
+    Jk [N,2,12] (intrinsics, refine-masked), all already robust-weighted,
+    frozen-parameter columns zeroed, invalid observations zeroed.
+    """
+    q = cam_q[problem.obs_cam]
+    t = cam_t[problem.obs_cam]
+    kcam = problem.cam_k[problem.obs_cam]
+    k = intr[kcam]
+    X = points[problem.obs_pt]
+    uv = problem.obs_uv
+    kmask = _intr_refine_mask(cfg)
+
+    def f(dc, dx, dk, q, t, k, X, uv):
+        # rotation: left-multiplicative quaternion update; translation: additive
+        # (matches the reference's quaternion manifold + subset-manifold tvec,
+        # bundle_adjustment.cc:794-803 — and makes tvec-component freezing exact)
+        q2 = se3.quat_mul(se3.so3_exp_quat(dc[:3]), q)
+        t2 = t + dc[3:]
+        return _reproj_residual(cfg, q2, t2, k + dk * kmask, X + dx, uv)
+
+    z6 = jnp.zeros((6,), jnp.float32)
+    z3 = jnp.zeros((3,), jnp.float32)
+    z12 = jnp.zeros((12,), jnp.float32)
+
+    def per_obs(q, t, k, X, uv):
+        r = f(z6, z3, z12, q, t, k, X, uv)
+        Jc, Jp, Jk = jax.jacfwd(f, argnums=(0, 1, 2))(z6, z3, z12, q, t, k, X, uv)
+        return r, Jc, Jp, Jk
+
+    r, Jc, Jp, Jk = jax.vmap(per_obs)(q, t, k, X, uv)
+
+    # robust IRLS sqrt-weighting
+    sq = jnp.sum(r * r, axis=-1)
+    w = jnp.sqrt(jnp.maximum(_sqrt_rho_deriv(sq, cfg), 1e-12)) * problem.obs_valid
+    r = r * w[:, None]
+    Jc = Jc * w[:, None, None]
+    Jp = Jp * w[:, None, None]
+    Jk = Jk * w[:, None, None]
+
+    # freeze poses / tvec components / points / intrinsics
+    pf = 1.0 - problem.pose_fixed[problem.obs_cam]  # [N]
+    tv = 1.0 - problem.tvec_fixed[problem.obs_cam]  # [N,3]
+    cmask = jnp.concatenate([jnp.broadcast_to(pf[:, None], (pf.shape[0], 3)), tv], axis=-1)
+    Jc = Jc * (pf[:, None, None] * jnp.ones((1, 1, 6))) * cmask[:, None, :]
+    Jp = Jp * (1.0 - problem.point_fixed[problem.obs_pt])[:, None, None]
+    Jk = Jk * (1.0 - problem.intr_fixed[kcam])[:, None, None]
+    return r, Jc, Jp, Jk
+
+
+# ---------------------------------------------------------------------------
+# normal equations + Schur elimination
+
+
+def _inv3(A: Array) -> Array:
+    """Closed-form batched 3x3 inverse (adjugate / det), f32-safe."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    det = jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    adj = jnp.stack(
+        [
+            jnp.stack([A11, A12, A13], -1),
+            jnp.stack([A21, A22, A23], -1),
+            jnp.stack([A31, A32, A33], -1),
+        ],
+        axis=-2,
+    )
+    return adj / det[..., None, None]
+
+
+def _gn_system(problem: BAProblem, cfg: BAConfig, cam_q, cam_t, intr, points, lam):
+    """Build and solve one damped GN step. Returns (dx_cam_blocks, dx_points).
+
+    Camera-side block layout: blocks 0..C-1 are pose tangents (6 each); if
+    cfg.refine_intrinsics, blocks C..C+K-1 are intrinsics (12, refine-masked,
+    split into two 6-blocks: C + 2k and C + 2k + 1).
+    """
+    C = problem.cam_q.shape[0]
+    K = problem.intr.shape[0]
+    P = problem.points.shape[0]
+    T = problem.pt_obs.shape[1]
+    nb = C + (2 * K if cfg.refine_intrinsics else 0)  # number of 6-blocks
+    D = 6 * nb
+
+    r, Jc, Jp, Jk = _obs_jacobians(problem, cfg, cam_q, cam_t, intr, points)
+    N = r.shape[0]
+
+    # ---- point blocks: H_pp and b_p, including lidar terms -----------------
+    JpTJp = jnp.einsum("nri,nrj->nij", Jp, Jp)  # [N,3,3]
+    JpTr = jnp.einsum("nri,nr->ni", Jp, r)  # [N,3]
+    Hpp = jnp.zeros((P, 3, 3), jnp.float32).at[problem.obs_pt].add(JpTJp)
+    b_p = jnp.zeros((P, 3), jnp.float32).at[problem.obs_pt].add(-JpTr)
+
+    nvec = problem.lidar_plane[:, :3]
+    dpl = problem.lidar_plane[:, 3]
+    rl = problem.lidar_w * (jnp.sum(points * nvec, axis=-1) + dpl)  # [P]
+    if cfg.lidar_loss_robust:
+        wl = jnp.sqrt(jnp.maximum(_sqrt_rho_deriv(rl * rl, cfg), 1e-12))
+    else:
+        wl = jnp.ones_like(rl)
+    Jl = (wl * problem.lidar_w)[:, None] * nvec * (1.0 - problem.point_fixed)[:, None]  # [P,3]
+    Hpp = Hpp + jnp.einsum("pi,pj->pij", Jl, Jl)
+    b_p = b_p - Jl * (wl * rl)[:, None]
+
+    # LM damping on point blocks + unit diagonal for empty/fixed points
+    diagH = jnp.einsum("pii->pi", Hpp)
+    Hpp_d = Hpp + jnp.eye(3) * (lam * diagH + 1e-8)[..., None] * jnp.eye(3)
+    # ensure invertibility for untouched points
+    Hpp_d = Hpp_d + jnp.eye(3) * 1e-6
+    Hpp_inv = _inv3(Hpp_d)
+
+    # ---- camera-side blocks ------------------------------------------------
+    # per-obs camera-side jacobian entries: pose block (6) and 2 intr blocks.
+    obs_pose_blk = problem.obs_cam  # block id of pose
+    if cfg.refine_intrinsics:
+        kid = problem.cam_k[problem.obs_cam]
+        obs_intr_blk0 = C + 2 * kid
+        obs_intr_blk1 = C + 2 * kid + 1
+        Jk0 = Jk[:, :, :6]
+        Jk1 = Jk[:, :, 6:]
+        # stacked camera-side entries [3N]: (obs, blockrole)
+        Jcam = jnp.concatenate([Jc, Jk0, Jk1], axis=0)  # [3N,2,6]
+        blk = jnp.concatenate([obs_pose_blk, obs_intr_blk0, obs_intr_blk1], axis=0)
+        r3 = jnp.concatenate([r, r, r], axis=0)
+        pt3 = jnp.concatenate([problem.obs_pt] * 3, axis=0)
+        Jp3 = jnp.concatenate([Jp] * 3, axis=0)
+        roles = 3
+    else:
+        Jcam = Jc
+        blk = obs_pose_blk
+        r3 = r
+        pt3 = problem.obs_pt
+        Jp3 = Jp
+        roles = 1
+
+    # H_cam diagonal blocks and gradient (note: off-diagonal pose<->intr terms
+    # of the SAME observation are part of the camera-side Hessian too).
+    S = jnp.zeros((D, D), jnp.float32)
+    b = jnp.zeros((D,), jnp.float32)
+
+    i6 = jnp.arange(6)
+
+    def scatter_block(S, rows_blk, cols_blk, vals):
+        """Scatter-add [M,6,6] blocks at block coords (rows_blk, cols_blk)."""
+        M = vals.shape[0]
+        ridx = rows_blk[:, None, None] * 6 + i6[None, :, None]
+        cidx = cols_blk[:, None, None] * 6 + i6[None, None, :]
+        return S.at[ridx, cidx].add(vals)
+
+    # camera-side JtJ: for each obs, roles x roles block outer products.
+    if cfg.refine_intrinsics:
+        Jroles = jnp.stack([Jc, Jk0, Jk1], axis=1)  # [N,3,2,6]
+        blks = jnp.stack([obs_pose_blk, obs_intr_blk0, obs_intr_blk1], axis=1)  # [N,3]
+        JtJ = jnp.einsum("nari,nbrj->nabij", Jroles, Jroles)  # [N,3,3,6,6]
+        M = N * roles * roles
+        S = scatter_block(
+            S,
+            jnp.repeat(blks, roles, axis=1).reshape(M),
+            jnp.tile(blks, (1, roles)).reshape(M),
+            JtJ.reshape(M, 6, 6),
+        )
+    else:
+        JtJ = jnp.einsum("nri,nrj->nij", Jc, Jc)
+        S = scatter_block(S, blk, blk, JtJ)
+
+    Jtr = jnp.einsum("mri,mr->mi", Jcam, r3)  # [3N or N, 6]
+    b = b.at[blk[:, None] * 6 + i6[None, :]].add(-Jtr)
+
+    # coupling W per camera-side entry: W_m = Jcam_m^T Jp_m  [6,3]
+    W = jnp.einsum("mri,mrj->mij", Jcam, Jp3)  # [M_ent,6,3]
+
+    # ---- Schur reduction, chunked over points ------------------------------
+    # pt_obs indexes into obs arrays [N]; for each role we know the entry
+    # index is role*N + obs_idx. Build per-point entry tables [P, T*roles].
+    pt_obs = problem.pt_obs  # [P,T], -1 padded
+    valid_e = (pt_obs >= 0).astype(jnp.float32)  # [P,T]
+    safe_obs = jnp.maximum(pt_obs, 0)
+
+    csize = min(cfg.point_chunk, P)
+    Ppad = ((P + csize - 1) // csize) * csize
+    if Ppad != P:
+        pad = Ppad - P
+        safe_obs_c = jnp.pad(safe_obs, ((0, pad), (0, 0)))
+        valid_e_c = jnp.pad(valid_e, ((0, pad), (0, 0)))
+        Hpp_inv_c = jnp.pad(Hpp_inv, ((0, pad), (0, 0), (0, 0)))
+        b_p_c = jnp.pad(b_p, ((0, pad), (0, 0)))
+    else:
+        safe_obs_c, valid_e_c, Hpp_inv_c, b_p_c = safe_obs, valid_e, Hpp_inv, b_p
+    nchunks = Ppad // csize
+
+    def chunk_body(carry, pstart):
+        S, b = carry
+        sl = jax.lax.dynamic_slice_in_dim(safe_obs_c, pstart, csize, axis=0)  # [c,T]
+        vm = jax.lax.dynamic_slice_in_dim(valid_e_c, pstart, csize, axis=0)  # [c,T]
+        Hinv = jax.lax.dynamic_slice_in_dim(Hpp_inv_c, pstart, csize, axis=0)
+        bp = jax.lax.dynamic_slice_in_dim(b_p_c, pstart, csize, axis=0)
+
+        if cfg.refine_intrinsics:
+            ent = jnp.concatenate([sl, sl + N, sl + 2 * N], axis=1)  # [c, T*3]
+            ventry = jnp.concatenate([vm, vm, vm], axis=1)
+        else:
+            ent = sl
+            ventry = vm
+        Tn = ent.shape[1]
+        Wg = W[ent] * ventry[..., None, None]  # [c,Tn,6,3]
+        blkg = blk[ent]  # [c,Tn]
+
+        # Y_a = W_a Hinv  [c,Tn,6,3]; pair products Y_a W_b^T [c,Tn,Tn,6,6]
+        Y = jnp.einsum("ctij,cjk->ctik", Wg, Hinv)
+        pair = jnp.einsum("ctik,cukl->ctuil", Y, jnp.swapaxes(Wg, -1, -2))
+        M = csize * Tn * Tn
+        rows = jnp.repeat(blkg, Tn, axis=1).reshape(M)
+        cols = jnp.tile(blkg, (1, Tn)).reshape(M)
+        S = scatter_block(S, rows, cols, -pair.reshape(M, 6, 6))
+
+        # rhs reduction: b -= Y_a b_p
+        yb = jnp.einsum("ctik,ck->cti", Y, bp).reshape(csize * Tn, 6)
+        b = b.at[blkg.reshape(-1)[:, None] * 6 + i6[None, :]].add(-yb)
+        return (S, b), None
+
+    (S, b), _ = jax.lax.scan(
+        chunk_body, (S, b), jnp.arange(nchunks) * csize
+    )
+
+    # ---- damping + gauge/padding regularization ---------------------------
+    diagS = jnp.diagonal(S)
+    S = S + jnp.diag(lam * diagS + 1e-8)
+    # unit diagonal where a block has no residuals (padding slots, fixed poses)
+    dead = (jnp.abs(diagS) < 1e-10).astype(jnp.float32)
+    S = S + jnp.diag(dead)
+
+    # Jacobi scaling for f32 conditioning
+    dscale = 1.0 / jnp.sqrt(jnp.maximum(jnp.diagonal(S), 1e-12))
+    Ss = S * dscale[:, None] * dscale[None, :]
+    bs = b * dscale
+    L, low = jax.scipy.linalg.cho_factor(Ss, lower=True)
+    dxs = jax.scipy.linalg.cho_solve((L, low), bs)
+    dx_cam = (dxs * dscale).reshape(nb, 6)
+
+    # guard against a failed factorization (non-SPD → nans): zero the step
+    ok = jnp.all(jnp.isfinite(dx_cam))
+    dx_cam = jnp.where(ok, dx_cam, 0.0)
+
+    # ---- back-substitute points -------------------------------------------
+    # dx_p = Hinv (b_p - sum_entries W_e^T dx_cam[blk_e])
+    if cfg.refine_intrinsics:
+        ent_all = jnp.concatenate([safe_obs, safe_obs + N, safe_obs + 2 * N], axis=1)
+        vent_all = jnp.concatenate([valid_e] * 3, axis=1)
+    else:
+        ent_all = safe_obs
+        vent_all = valid_e
+    Wg = W[ent_all] * vent_all[..., None, None]  # [P,Tn,6,3]
+    dcam_g = dx_cam[blk[ent_all]]  # [P,Tn,6]
+    wtd = jnp.einsum("ptij,pti->pj", Wg, dcam_g)  # [P,3]
+    dx_p = jnp.einsum("pij,pj->pi", Hpp_inv, b_p - wtd)
+    dx_p = jnp.where(ok, dx_p, 0.0)
+    return dx_cam, dx_p
+
+
+def _apply_step(cfg, problem, cam_q, cam_t, intr, points, dx_cam, dx_p):
+    C = problem.cam_q.shape[0]
+    pose_dx = dx_cam[:C]
+    q2 = se3.quat_normalize(se3.quat_mul(se3.so3_exp_quat(pose_dx[:, :3]), cam_q))
+    t2 = cam_t + pose_dx[:, 3:]
+    points2 = points + dx_p
+    if cfg.refine_intrinsics:
+        K = problem.intr.shape[0]
+        dintr = dx_cam[C : C + 2 * K].reshape(K, 12)
+        intr2 = intr + dintr * _intr_refine_mask(cfg)[None, :]
+    else:
+        intr2 = intr
+    return q2, t2, intr2, points2
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def solve(problem: BAProblem, cfg: BAConfig) -> BAResult:
+    """Run LM to convergence (fixed max iterations) on the given problem."""
+
+    def cost_fn(q, t, k, X):
+        return total_cost(q, t, k, X, problem, cfg)
+
+    init_cost = cost_fn(problem.cam_q, problem.cam_t, problem.intr, problem.points)
+
+    def body(state):
+        q, t, k, X, lam, cost, it, stall = state
+        dx_cam, dx_p = _gn_system(problem, cfg, q, t, k, X, lam)
+        q2, t2, k2, X2 = _apply_step(cfg, problem, q, t, k, X, dx_cam, dx_p)
+        new_cost = cost_fn(q2, t2, k2, X2)
+        accept = new_cost < cost
+        q = jax.tree.map(lambda a, b: jnp.where(accept, a, b), q2, q)
+        t = jnp.where(accept, t2, t)
+        k = jnp.where(accept, k2, k)
+        X = jnp.where(accept, X2, X)
+        cost_next = jnp.where(accept, new_cost, cost)
+        lam = jnp.clip(
+            jnp.where(accept, lam * 0.33, lam * 8.0), cfg.min_lambda, cfg.max_lambda
+        )
+        rel = jnp.abs(cost - cost_next) / jnp.maximum(cost, 1e-12)
+        stall = jnp.where(accept & (rel < 1e-6), stall + 1, jnp.where(accept, 0, stall + 1))
+        return q, t, k, X, lam, cost_next, it + 1, stall
+
+    def cond(state):
+        *_, it, stall = state
+        return (it < cfg.max_iterations) & (stall < 4)
+
+    lam0 = jnp.asarray(cfg.initial_lambda, jnp.float32)
+    state = (
+        problem.cam_q,
+        problem.cam_t,
+        problem.intr,
+        problem.points,
+        lam0,
+        init_cost,
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+    )
+    q, t, k, X, lam, cost, it, _ = jax.lax.while_loop(cond, body, state)
+    return BAResult(q, t, k, X, init_cost, cost, it)
+
+
+# ---------------------------------------------------------------------------
+# helpers for building problems
+
+
+def make_problem(
+    cam_q,
+    cam_t,
+    intr,
+    points,
+    obs_cam,
+    obs_pt,
+    obs_uv,
+    *,
+    cam_k=None,
+    obs_valid=None,
+    track_len: int = 16,
+    lidar_plane=None,
+    lidar_w=None,
+    pose_fixed=None,
+    tvec_fixed=None,
+    point_fixed=None,
+    intr_fixed=None,
+) -> BAProblem:
+    """Assemble a BAProblem from unpadded numpy/JAX arrays (host-side helper).
+
+    Builds the per-point observation table pt_obs [P, track_len]; observations
+    beyond track_len per point are dropped from the Schur coupling only in
+    exact arithmetic terms (they still contribute camera-side and point-side
+    Hessian), which would bias the step — so callers must pick track_len >=
+    max track length in the problem. This helper asserts that.
+    """
+    import numpy as np
+
+    cam_q = np.asarray(cam_q, np.float32)
+    C = cam_q.shape[0]
+    points = np.asarray(points, np.float32)
+    P = points.shape[0]
+    obs_cam = np.asarray(obs_cam, np.int32)
+    obs_pt = np.asarray(obs_pt, np.int32)
+    N = obs_cam.shape[0]
+    intr = np.asarray(intr, np.float32)
+    if intr.ndim == 1:
+        intr = intr[None, :]
+    K = intr.shape[0]
+    if intr.shape[1] < 12:
+        intr = np.pad(intr, ((0, 0), (0, 12 - intr.shape[1])))
+
+    if obs_valid is None:
+        obs_valid = np.ones((N,), np.float32)
+    obs_valid = np.asarray(obs_valid, np.float32)
+
+    # per-point observation table (only valid observations participate)
+    pt_obs = -np.ones((P, track_len), np.int64)
+    fill = np.zeros((P,), np.int64)
+    for i in range(N):
+        if obs_valid[i] <= 0:
+            continue
+        p = obs_pt[i]
+        assert fill[p] < track_len, (
+            f"point {p} has more than track_len={track_len} observations"
+        )
+        pt_obs[p, fill[p]] = i
+        fill[p] += 1
+
+    def default(x, shape, val=0.0):
+        return np.full(shape, val, np.float32) if x is None else np.asarray(x, np.float32)
+
+    return BAProblem(
+        cam_q=jnp.asarray(cam_q),
+        cam_t=jnp.asarray(cam_t, dtype=jnp.float32),
+        cam_k=jnp.asarray(
+            np.zeros((C,), np.int32) if cam_k is None else np.asarray(cam_k, np.int32)
+        ),
+        intr=jnp.asarray(intr),
+        points=jnp.asarray(points),
+        obs_cam=jnp.asarray(obs_cam),
+        obs_pt=jnp.asarray(obs_pt),
+        obs_uv=jnp.asarray(obs_uv, dtype=jnp.float32),
+        obs_valid=jnp.asarray(obs_valid),
+        pt_obs=jnp.asarray(pt_obs.astype(np.int32)),
+        lidar_plane=jnp.asarray(default(lidar_plane, (P, 4))),
+        lidar_w=jnp.asarray(default(lidar_w, (P,))),
+        pose_fixed=jnp.asarray(default(pose_fixed, (C,))),
+        tvec_fixed=jnp.asarray(default(tvec_fixed, (C, 3))),
+        point_fixed=jnp.asarray(default(point_fixed, (P,))),
+        intr_fixed=jnp.asarray(default(intr_fixed, (K,))),
+        num_cams=jnp.asarray(C, jnp.int32),
+        num_points=jnp.asarray(P, jnp.int32),
+    )
