@@ -1,0 +1,230 @@
+"""The prior LiDAR map: loading, frame conversion, submap grid, associations.
+
+Host-side orchestration over the device kernels in ops/pointcloud.py. Replaces
+src/lidar/ply.{h,cc} (PointCloudProcess) and the host half of
+src/lidar/pcd_projection.cc (PcdProj submap bookkeeping):
+
+  * load PLY with normals, convert the lidar frame (x fwd, y left, z up) to the
+    camera-convention map frame: (x,y,z) -> (-y,-z,x), same for normals,
+    dropping NaNs (ply.cc:33-57 PointCloudDirectionTrans).
+  * bucket the map into a cubical-cell grid (BuildSubMap, pcd_projection.cc:
+    223-255) stored CSR-style (host) + as one device-resident point/normal
+    array sorted by cell, so frustum-culled candidate ranges are contiguous
+    gathers instead of pointer chasing.
+  * project_to_image / depth-associate features (SetNewImage overloads)
+  * nn_query (kd-tree replacement; exact blocked 1-NN on device)
+  * voxel_downsample for display/export parity (LoadDownsizedMap, ply.cc:59).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io import ply as ply_io
+from ..ops import camera_models as cm
+from ..ops import pointcloud as pc_ops
+
+LIDAR_PROJ = 0
+LIDAR_ICP = 1
+LIDAR_ICP_GROUND = 2
+
+
+def lidar_to_camera_frame(xyz: np.ndarray) -> np.ndarray:
+    """(x fwd, y left, z up) -> camera convention (-y, -z, x)."""
+    return np.stack([-xyz[:, 1], -xyz[:, 2], xyz[:, 0]], axis=-1)
+
+
+def camera_to_lidar_frame(xyz: np.ndarray) -> np.ndarray:
+    """Inverse of lidar_to_camera_frame: (x,y,z) -> (z, -x, -y)."""
+    return np.stack([xyz[:, 2], -xyz[:, 0], -xyz[:, 1]], axis=-1)
+
+
+@dataclass
+class LidarMap:
+    points: np.ndarray  # [N,3] camera-convention map frame
+    normals: np.ndarray  # [N,3]
+    cell_size: float
+    # CSR grid over sorted points
+    cell_keys: np.ndarray  # [n_cells, 3] int32 rounded coords
+    cell_start: np.ndarray  # [n_cells]
+    cell_count: np.ndarray  # [n_cells]
+    # device-resident copies (sorted by cell)
+    d_points: jax.Array
+    d_normals: jax.Array
+    d_cell_centers: jax.Array  # [n_cells,3] f32
+    opts: pc_ops.ProjOptions
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def load(
+        cls,
+        path: str,
+        opts: pc_ops.ProjOptions = pc_ops.ProjOptions(),
+        convert_frame: bool = True,
+        device=None,
+    ) -> "LidarMap":
+        data = ply_io.read_ply(path)
+        if data.normals is None:
+            raise ValueError(f"{path}: lidar map must carry per-point normals")
+        xyz, nrm = data.xyz, data.normals
+        if convert_frame:
+            xyz = lidar_to_camera_frame(xyz)
+            nrm = lidar_to_camera_frame(nrm)
+        return cls.from_arrays(xyz, nrm, opts, device=device)
+
+    @classmethod
+    def from_arrays(cls, xyz, nrm, opts=pc_ops.ProjOptions(), device=None) -> "LidarMap":
+        xyz = np.asarray(xyz, np.float32)
+        nrm = np.asarray(nrm, np.float32)
+        ok = np.all(np.isfinite(xyz), axis=1) & np.all(np.isfinite(nrm), axis=1)
+        xyz, nrm = xyz[ok], nrm[ok]
+
+        # grid bucketing: key = round(x / cell) per axis (pcd_projection.h:70-76)
+        keys = np.round(xyz / opts.submap_cell).astype(np.int64)
+        # lexicographic sort by (kx, ky, kz)
+        order = np.lexsort((keys[:, 2], keys[:, 1], keys[:, 0]))
+        xyz, nrm, keys = xyz[order], nrm[order], keys[order]
+        uniq, start, count = np.unique(
+            keys, axis=0, return_index=True, return_counts=True
+        )
+        centers = uniq.astype(np.float32) * opts.submap_cell
+
+        put = (lambda a: jax.device_put(a, device)) if device else jnp.asarray
+        return cls(
+            points=xyz,
+            normals=nrm,
+            cell_size=opts.submap_cell,
+            cell_keys=uniq.astype(np.int32),
+            cell_start=start.astype(np.int64),
+            cell_count=count.astype(np.int64),
+            d_points=put(xyz),
+            d_normals=put(nrm),
+            d_cell_centers=put(centers),
+            opts=opts,
+        )
+
+    @property
+    def num_points(self) -> int:
+        return self.points.shape[0]
+
+    # ------------------------------------------------------------------
+    def frustum_candidates(
+        self, q, t, params, model_id: int, width: int, height: int, budget: int | None = None
+    ):
+        """Candidate point range for a view: device 5-plane cell test, host CSR
+        compaction, padded contiguous gather.
+
+        Returns (cand_idx [B] int64, valid [B] f32) where B is the padded budget.
+        """
+        fx, fy, cx, cy = (float(x) for x in np.asarray(cm.focal_pp(jnp.asarray(params), model_id)))
+        planes = pc_ops.frustum_planes(
+            jnp.asarray(q), jnp.asarray(t), fx, fy, cx, cy, width, height, self.opts.choose_meter
+        )
+        # cell centers inside the frustum, with one-cell dilation via a radius
+        # slack on the plane test (covers the reference's +-1-cell sweep)
+        slack = self.cell_size * np.sqrt(3.0) * 0.5
+        vals = self.d_cell_centers @ planes[:, :3].T + planes[None, :, 3]
+        mask = np.asarray(jnp.all(vals <= slack, axis=-1))
+        sel = np.nonzero(mask)[0]
+        if sel.size == 0:
+            idx = np.zeros(0, np.int64)
+        else:
+            idx = np.concatenate(
+                [np.arange(s, s + c) for s, c in zip(self.cell_start[sel], self.cell_count[sel])]
+            )
+        n = idx.size
+        if budget is None:
+            budget = max(1 << int(np.ceil(np.log2(max(n, 1)))), 1024)
+        if n > budget:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "frustum candidate set (%d) exceeds budget (%d); truncating", n, budget
+            )
+            idx = idx[:budget]
+            n = budget
+        valid = np.zeros(budget, np.float32)
+        valid[:n] = 1.0
+        pad = np.zeros(budget, np.int64)
+        pad[:n] = idx
+        return pad, valid
+
+    # ------------------------------------------------------------------
+    def project_to_image(
+        self,
+        feat_xy: np.ndarray,  # [F,2] full-res pixels
+        q,
+        t,
+        params,
+        model_id: int,
+        width: int,
+        height: int,
+        feat_valid: np.ndarray | None = None,
+    ):
+        """Associate each feature pixel with the nearest covering lidar point.
+
+        Returns dict with lidar_pt [F,3], lidar_nrm [F,3], found [F] bool
+        (SetNewImage map-overload semantics, pcd_projection.cc:13-89).
+        """
+        F = feat_xy.shape[0]
+        if feat_valid is None:
+            feat_valid = np.ones(F, np.float32)
+        cand_idx, cand_valid = self.frustum_candidates(q, t, params, model_id, width, height)
+        cand_pts = self.d_points[jnp.asarray(cand_idx)]
+        cand_nrm = self.d_normals[jnp.asarray(cand_idx)]
+        lpt, lnr, found = pc_ops.depth_project(
+            jnp.asarray(feat_xy, jnp.float32),
+            jnp.asarray(feat_valid, jnp.float32),
+            cand_pts,
+            cand_nrm,
+            jnp.asarray(cand_valid),
+            jnp.asarray(q, jnp.float32),
+            jnp.asarray(t, jnp.float32),
+            jnp.asarray(params, jnp.float32),
+            width,
+            height,
+            model_id,
+            self.opts,
+        )
+        return {
+            "lidar_pt": np.asarray(lpt),
+            "lidar_nrm": np.asarray(lnr),
+            "found": np.asarray(found),
+        }
+
+    # ------------------------------------------------------------------
+    def nn_query(self, queries: np.ndarray, pad_to: int | None = None):
+        """Exact 1-NN against the full map. Returns (points, normals, dists)."""
+        Q = queries.shape[0]
+        if Q == 0:
+            return (
+                np.zeros((0, 3), np.float32),
+                np.zeros((0, 3), np.float32),
+                np.zeros((0,), np.float32),
+            )
+        qpad = Q if pad_to is None else pad_to
+        qarr = np.zeros((qpad, 3), np.float32)
+        qarr[:Q] = queries
+        idx, dist = pc_ops.nn_query(
+            jnp.asarray(qarr), self.d_points, jnp.ones(self.num_points, jnp.float32)
+        )
+        idx = np.asarray(idx)[:Q]
+        return self.points[idx], self.normals[idx], np.asarray(dist)[:Q]
+
+    # ------------------------------------------------------------------
+    def voxel_downsample(self, voxel: float) -> tuple[np.ndarray, np.ndarray]:
+        """Centroid voxel filter for display/export (LoadDownsizedMap parity)."""
+        keys = np.floor(self.points / voxel).astype(np.int64)
+        uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+        n = uniq.shape[0]
+        sums = np.zeros((n, 3), np.float64)
+        nrms = np.zeros((n, 3), np.float64)
+        cnt = np.zeros((n, 1), np.int64)
+        np.add.at(sums, inv, self.points)
+        np.add.at(nrms, inv, self.normals)
+        np.add.at(cnt, inv, 1)
+        return (sums / cnt).astype(np.float32), (nrms / cnt).astype(np.float32)
