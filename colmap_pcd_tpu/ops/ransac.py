@@ -1,0 +1,185 @@
+"""Batched RANSAC / LO-RANSAC: hypotheses as one vmapped bank, not a loop.
+
+Re-designs src/optim/ransac.h, loransac.h, support_measurement.{h,cc} and the
+samplers: on a TPU the hypothesize-and-verify loop becomes
+
+  1. draw H minimal samples at once (categorical over the valid mask),
+  2. solve all H minimal problems in one batched SVD/eigh (ops/solvers.py),
+  3. score all H x N residuals in one pass (inlier count, then total
+     truncated residual as tie-break — MSAC-flavored support, matching the
+     reference's InlierSupportMeasurer ordering),
+  4. local optimization: refit a non-minimal solver on the best inliers and
+     rescore, a fixed small number of rounds (LORANSAC semantics).
+
+There is no SPRT / progressive sampling (optim/sprt.{h,cc},
+progressive_sampler.cc): those exist to cut sequential iterations early, which
+is meaningless when all hypotheses evaluate in parallel anyway — the batched
+bank IS the preemption.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import se3, solvers
+
+Array = jax.Array
+
+
+class RansacOptions(NamedTuple):
+    max_error: float = 4.0  # inlier threshold on the residual (units per-fn)
+    num_hypotheses: int = 2048
+    lo_rounds: int = 3  # local-optimization refit rounds
+    min_inlier_ratio: float = 0.0
+
+
+def _draw_samples(key, valid: Array, num: int, k: int) -> Array:
+    """[num, k] indices drawn from the valid mask (with replacement)."""
+    logits = jnp.where(valid > 0, 0.0, -1e30)
+    return jax.random.categorical(key, logits, shape=(num, k))
+
+
+def _score(err: Array, valid: Array, thr: float):
+    """(num_inliers, score) per hypothesis; score orders by inliers then
+    truncated residual sum. err [H,N], valid [N]."""
+    ok = (err < thr) & (valid > 0)
+    n_in = jnp.sum(ok, axis=-1)
+    trunc = jnp.sum(jnp.minimum(err, thr) * valid, axis=-1)
+    # maximize inliers, minimize truncated cost
+    score = n_in.astype(jnp.float32) - trunc / (thr * jnp.maximum(jnp.sum(valid), 1.0))
+    return n_in, score
+
+
+class PnPResult(NamedTuple):
+    q: Array
+    t: Array
+    inlier_mask: Array
+    num_inliers: Array
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def ransac_pnp(
+    uv: Array,  # [N,2] normalized camera coords
+    X: Array,  # [N,3]
+    valid: Array,  # [N]
+    key: Array,
+    opts: RansacOptions = RansacOptions(),
+) -> PnPResult:
+    """Absolute pose from 2D-3D matches (EstimateAbsolutePose parity,
+    estimators/pose.cc): P6P-DLT hypotheses + EPnP local optimization.
+    max_error is in normalized-coordinate units (divide pixel threshold by
+    focal length, as the reference does via camera.ImageToWorldThreshold)."""
+    N = uv.shape[0]
+    H = opts.num_hypotheses
+    idx = _draw_samples(key, valid, H, 6)
+
+    def solve_one(ii):
+        return solvers.p6p_dlt(uv[ii], X[ii])
+
+    qs, ts = jax.vmap(solve_one)(idx)  # [H,4],[H,3]
+
+    def resid(q, t):
+        xc = se3.se3_apply(q, t, X)
+        z = xc[:, 2]
+        zok = z > 1e-6
+        p = xc[:, :2] / jnp.where(jnp.abs(z[:, None]) < 1e-6, 1e-6, z[:, None])
+        e = jnp.sum((p - uv) ** 2, axis=-1)
+        return jnp.where(zok, e, 1e12)
+
+    errs = jax.vmap(resid)(qs, ts)  # [H,N]
+    thr2 = opts.max_error**2
+    n_in, score = _score(errs, valid, thr2)
+    best = jnp.argmax(score)
+    q_b, t_b = qs[best], ts[best]
+
+    def lo_round(carry, _):
+        q_b, t_b, best_in = carry
+        e = resid(q_b, t_b)
+        inl = ((e < thr2) & (valid > 0)).astype(jnp.float32)
+        q_n, t_n = solvers.epnp(uv, X, inl)
+        e_n = resid(q_n, t_n)
+        n_n = jnp.sum((e_n < thr2) & (valid > 0))
+        better = n_n >= best_in
+        q_b = jnp.where(better, q_n, q_b)
+        t_b = jnp.where(better, t_n, t_b)
+        best_in = jnp.maximum(n_n, best_in)
+        return (q_b, t_b, best_in), None
+
+    (q_b, t_b, n_best), _ = jax.lax.scan(
+        lo_round, (q_b, t_b, n_in[best]), None, length=opts.lo_rounds
+    )
+    e = resid(q_b, t_b)
+    mask = (e < thr2) & (valid > 0)
+    return PnPResult(q_b, t_b, mask, jnp.sum(mask))
+
+
+class TwoViewResult(NamedTuple):
+    model: Array  # 3x3 (E, F, or H)
+    inlier_mask: Array
+    num_inliers: Array
+
+
+def _ransac_two_view(uv1, uv2, valid, key, opts, solver, resid, sample_k):
+    H = opts.num_hypotheses
+    idx = _draw_samples(key, valid, H, sample_k)
+
+    def solve_one(ii):
+        return solver(uv1[ii], uv2[ii], None)
+
+    models = jax.vmap(solve_one)(idx)  # [H,3,3]
+    errs = jax.vmap(lambda M: resid(M, uv1, uv2))(models)
+    thr2 = opts.max_error**2
+    n_in, score = _score(errs, valid, thr2)
+    best = jnp.argmax(score)
+    M_b = models[best]
+
+    def lo_round(carry, _):
+        M_b, best_in = carry
+        e = resid(M_b, uv1, uv2)
+        inl = ((e < thr2) & (valid > 0)).astype(jnp.float32)
+        M_n = solver(uv1, uv2, inl)
+        e_n = resid(M_n, uv1, uv2)
+        n_n = jnp.sum((e_n < thr2) & (valid > 0))
+        better = n_n >= best_in
+        M_b = jnp.where(better, M_n, M_b)
+        best_in = jnp.maximum(n_n, best_in)
+        return (M_b, best_in), None
+
+    (M_b, _), _ = jax.lax.scan(lo_round, (M_b, n_in[best]), None, length=opts.lo_rounds)
+    e = resid(M_b, uv1, uv2)
+    mask = (e < thr2) & (valid > 0)
+    return TwoViewResult(M_b, mask, jnp.sum(mask))
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def ransac_fundamental(uv1, uv2, valid, key, opts: RansacOptions = RansacOptions()):
+    """F from pixel coords; max_error in pixels (Sampson)."""
+    return _ransac_two_view(
+        uv1, uv2, valid, key, opts,
+        lambda a, b, m: solvers.eight_point(a, b, m, essential=False),
+        solvers.sampson_error, 8,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def ransac_essential(uv1, uv2, valid, key, opts: RansacOptions = RansacOptions()):
+    """E from normalized camera coords; max_error in normalized units."""
+    return _ransac_two_view(
+        uv1, uv2, valid, key, opts,
+        lambda a, b, m: solvers.eight_point(a, b, m, essential=True),
+        solvers.sampson_error, 8,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def ransac_homography(uv1, uv2, valid, key, opts: RansacOptions = RansacOptions()):
+    """H from pixel coords; max_error in pixels (transfer error)."""
+    return _ransac_two_view(
+        uv1, uv2, valid, key, opts,
+        solvers.homography_dlt,
+        solvers.homography_transfer_error, 4,
+    )

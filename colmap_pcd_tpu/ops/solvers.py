@@ -1,0 +1,321 @@
+"""Batched geometric solvers: triangulation, PnP, E/F/H estimation, Umeyama.
+
+Re-designs src/estimators/* (absolute_pose, essential_matrix, fundamental_matrix,
+homography_matrix, triangulation, similarity_transform — ~12.5k LoC of
+per-sample C++) as fixed-shape batched JAX functions, built to be vmapped over
+thousands of RANSAC hypotheses at once (ops/ransac.py): hypothesis generation is
+one big batched SVD/eigh instead of a sequential loop.
+
+Notes vs the reference:
+  * PnP minimal solver is a 6-point DLT (+ orthogonal Procrustes projection)
+    rather than Kneip P3P (estimators/absolute_pose.h:52): quartic
+    root-finding needs complex eigensolves that XLA:TPU lacks; a P6P sample
+    costs more RANSAC trials, which the batched hypothesis bank absorbs.
+    EPnP (absolute_pose.h:97) is provided for non-minimal refits.
+  * Essential matrix uses the 8-point algorithm + manifold projection rather
+    than Nister 5-point (degree-10 polynomial, same TPU constraint).
+  * Fundamental: 8-point (7-point deferred).
+All solvers operate on normalized or pixel coordinates as documented per-fn.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import se3
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# triangulation (reference: src/base/triangulation.cc, estimators/triangulation.cc)
+
+
+def triangulate_dlt(proj1: Array, proj2: Array, uv1: Array, uv2: Array) -> Array:
+    """DLT triangulation from two 3x4 projection matrices; uv in normalized or
+    pixel coords matching the projection matrices. Batched over leading dims."""
+    rows = jnp.stack(
+        [
+            uv1[..., 0, None] * proj1[..., 2, :] - proj1[..., 0, :],
+            uv1[..., 1, None] * proj1[..., 2, :] - proj1[..., 1, :],
+            uv2[..., 0, None] * proj2[..., 2, :] - proj2[..., 0, :],
+            uv2[..., 1, None] * proj2[..., 2, :] - proj2[..., 1, :],
+        ],
+        axis=-2,
+    )  # [...,4,4]
+    _, _, vt = jnp.linalg.svd(rows)
+    X = vt[..., 3, :]
+    w = X[..., 3]
+    w = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
+    return X[..., :3] / w[..., None]
+
+
+def proj_matrix(q: Array, t: Array) -> Array:
+    """[R|t] 3x4 from pose, batched."""
+    R = se3.quat_to_rotmat(q)
+    return jnp.concatenate([R, t[..., :, None]], axis=-1)
+
+
+def triangulate_multiview(qs: Array, ts: Array, uvs: Array, mask: Array) -> Array:
+    """N-view DLT: qs [T,4], ts [T,3], uvs [T,2] normalized camera coords,
+    mask [T]. Rows of invalid views are zeroed (they do not constrain)."""
+    P = proj_matrix(qs, ts)  # [T,3,4]
+    r1 = uvs[:, 0, None] * P[:, 2, :] - P[:, 0, :]
+    r2 = uvs[:, 1, None] * P[:, 2, :] - P[:, 1, :]
+    A = jnp.concatenate([r1, r2], axis=0) * jnp.concatenate([mask, mask])[:, None]
+    _, _, vt = jnp.linalg.svd(A, full_matrices=True)  # full: nullspace vector needed for minimal samples
+    X = vt[3, :]
+    w = jnp.where(jnp.abs(X[3]) < 1e-12, 1e-12, X[3])
+    return X[:3] / w
+
+
+def triangulation_angle(center1: Array, center2: Array, X: Array) -> Array:
+    """Angle at X subtended by the two camera centers (radians)."""
+    v1 = center1 - X
+    v2 = center2 - X
+    c = jnp.sum(v1 * v2, axis=-1) / jnp.maximum(
+        jnp.linalg.norm(v1, axis=-1) * jnp.linalg.norm(v2, axis=-1), 1e-12
+    )
+    return jnp.arccos(jnp.clip(c, -1.0, 1.0))
+
+
+# ---------------------------------------------------------------------------
+# absolute pose (PnP)
+
+
+def p6p_dlt(uv: Array, X: Array) -> tuple[Array, Array]:
+    """Direct linear P6P for calibrated cameras.
+
+    uv [6,2] normalized camera coords (x/z, y/z); X [6,3] world points.
+    Returns (q, t) with R projected to SO(3) by Procrustes and sign fixed by
+    cheirality (majority of points in front). Works for any n >= 6 rows.
+    """
+    n = uv.shape[0]
+    Xh = jnp.concatenate([X, jnp.ones((n, 1), X.dtype)], axis=-1)  # [n,4]
+    z = jnp.zeros_like(Xh)
+    r1 = jnp.concatenate([Xh, z, -uv[:, 0:1] * Xh], axis=-1)  # [n,12]
+    r2 = jnp.concatenate([z, Xh, -uv[:, 1:2] * Xh], axis=-1)
+    A = jnp.concatenate([r1, r2], axis=0)  # [2n,12]
+    _, _, vt = jnp.linalg.svd(A, full_matrices=True)  # full: nullspace vector needed for minimal samples
+    P = vt[-1].reshape(3, 4)
+    M = P[:, :3]
+    # scale & sign: det(R) > 0
+    s = jnp.sign(jnp.linalg.det(M))
+    s = jnp.where(s == 0, 1.0, s)
+    M = M * s
+    tt = P[:, 3] * s
+    scale = jnp.exp(jnp.log(jnp.maximum(jnp.abs(jnp.linalg.det(M)), 1e-30)) / 3.0)
+    M = M / scale
+    tt = tt / scale
+    # project to SO(3); if the majority of depths come out negative the
+    # hypothesis is bogus and gets scored out by RANSAC.
+    U, _, Vt = jnp.linalg.svd(M)
+    d = jnp.sign(jnp.linalg.det(U @ Vt))
+    d = jnp.where(d == 0, 1.0, d)
+    one = jnp.ones((), M.dtype)
+    R = U @ jnp.diag(jnp.stack([one, one, d])) @ Vt
+    q = se3.rotmat_to_quat(R)
+    return q, tt
+
+
+def epnp(uv: Array, X: Array, mask: Array | None = None) -> tuple[Array, Array]:
+    """EPnP (N=1 nullspace case) + Procrustes, for non-minimal refits.
+
+    uv [n,2] normalized coords, X [n,3], optional mask [n]. reference:
+    estimators/absolute_pose.h:97 (EPNPEstimator).
+    """
+    n = uv.shape[0]
+    m = jnp.ones((n,), X.dtype) if mask is None else mask
+    wsum = jnp.maximum(jnp.sum(m), 1.0)
+    centroid = jnp.sum(X * m[:, None], axis=0) / wsum
+    Xc = (X - centroid) * m[:, None]
+    cov = Xc.T @ Xc / wsum
+    eigval, eigvec = jnp.linalg.eigh(cov)
+    # control points: centroid + principal axes scaled
+    axes = eigvec.T * jnp.sqrt(jnp.maximum(eigval, 1e-12))[:, None]  # [3,3]
+    C = jnp.concatenate([centroid[None, :], centroid[None, :] + axes], axis=0)  # [4,3]
+    # barycentric coords: X = alpha @ C with sum(alpha)=1
+    Ch = jnp.concatenate([C.T, jnp.ones((1, 4))], axis=0)  # [4,4]
+    Xh = jnp.concatenate([X.T, jnp.ones((1, n))], axis=0)  # [4,n]
+    alpha = jnp.linalg.solve(Ch, Xh).T  # [n,4]
+    # M matrix [2n, 12]
+    a = alpha
+    u, v = uv[:, 0], uv[:, 1]
+    z4 = jnp.zeros((n, 4))
+    r1 = jnp.concatenate([a, z4, -u[:, None] * a], axis=-1)
+    r2 = jnp.concatenate([z4, a, -v[:, None] * a], axis=-1)
+    Mm = jnp.concatenate([r1 * m[:, None], r2 * m[:, None]], axis=0)  # [2n,12]
+    MtM = Mm.T @ Mm
+    w, vvec = jnp.linalg.eigh(MtM)
+    x = vvec[:, 0].reshape(3, 4)  # control points in camera frame (up to scale)
+    Cc = x.T  # [4,3]
+    # fix sign: depths positive
+    sign = jnp.sign(jnp.sum(alpha @ Cc[:, 2]))
+    sign = jnp.where(sign == 0, 1.0, sign)
+    Cc = Cc * sign
+    # similarity alignment world control pts -> camera control pts. The EPnP
+    # nullspace determines camera control points only up to a global scale
+    # beta: Cc_est = beta (R C + t). Umeyama gives s = beta and t_u = beta t,
+    # so the rigid translation is t_u / s.
+    q, t_u, s = umeyama(C, Cc, with_scale=True)
+    return q, t_u / jnp.maximum(s, 1e-12)
+
+
+def umeyama(src: Array, dst: Array, with_scale: bool = False):
+    """Least-squares similarity/rigid transform src -> dst.
+
+    Returns (q, t, s) with dst ~ s * R(q) @ src + t. reference:
+    base/similarity_transform.cc (Umeyama).
+    """
+    mu_s = jnp.mean(src, axis=0)
+    mu_d = jnp.mean(dst, axis=0)
+    sc = src - mu_s
+    dc = dst - mu_d
+    cov = dc.T @ sc / src.shape[0]
+    U, S, Vt = jnp.linalg.svd(cov)
+    d = jnp.sign(jnp.linalg.det(U) * jnp.linalg.det(Vt))
+    d = jnp.where(d == 0, 1.0, d)
+    Dm = jnp.diag(jnp.stack([jnp.float32(1.0), jnp.float32(1.0), d]))
+    R = U @ Dm @ Vt
+    if with_scale:
+        var_s = jnp.mean(jnp.sum(sc * sc, axis=-1))
+        s = jnp.sum(S * jnp.diagonal(Dm)) / jnp.maximum(var_s, 1e-12)
+    else:
+        s = jnp.float32(1.0)
+    t = mu_d - s * (R @ mu_s)
+    return se3.rotmat_to_quat(R), t, s
+
+
+# ---------------------------------------------------------------------------
+# epipolar geometry
+
+
+def _normalize_points(uv: Array) -> tuple[Array, Array]:
+    """Hartley normalization: returns (uv_norm, T 3x3) with T @ uv_h = uv_norm_h."""
+    mean = jnp.mean(uv, axis=0)
+    rms = jnp.sqrt(jnp.mean(jnp.sum((uv - mean) ** 2, axis=-1)))
+    s = jnp.sqrt(2.0) / jnp.maximum(rms, 1e-12)
+    T = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    T = T.at[0, 0].set(s).at[1, 1].set(s).at[0, 2].set(-s * mean[0]).at[1, 2].set(-s * mean[1])
+    return (uv - mean) * s, T
+
+
+def eight_point(uv1: Array, uv2: Array, mask: Array | None = None, essential: bool = False) -> Array:
+    """8-point algorithm for F (or E with manifold projection).
+
+    uv1/uv2 [n,2] (n >= 8); for E pass normalized camera coords. Returns 3x3.
+    reference: estimators/fundamental_matrix.h:93, essential_matrix.h:53
+    (5-point replaced; see module docstring).
+    """
+    n = uv1.shape[0]
+    m = jnp.ones((n,), uv1.dtype) if mask is None else mask
+    n1, T1 = _normalize_points(uv1)
+    n2, T2 = _normalize_points(uv2)
+    x1, y1 = n1[:, 0], n1[:, 1]
+    x2, y2 = n2[:, 0], n2[:, 1]
+    A = jnp.stack(
+        [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, jnp.ones_like(x1)], axis=-1
+    ) * m[:, None]
+    _, _, vt = jnp.linalg.svd(A, full_matrices=True)  # full: nullspace vector needed for minimal samples
+    F = vt[-1].reshape(3, 3)
+    U, S, Vt = jnp.linalg.svd(F)
+    if essential:
+        S2 = jnp.array([1.0, 1.0, 0.0])
+    else:
+        S2 = S.at[2].set(0.0)
+    F = U @ jnp.diag(S2) @ Vt
+    F = T2.T @ F @ T1
+    norm = jnp.linalg.norm(F)
+    return F / jnp.where(norm < 1e-12, 1e-12, norm)
+
+
+def sampson_error(F: Array, uv1: Array, uv2: Array) -> Array:
+    """Squared Sampson distance (reference: base/essential_matrix.cc /
+    cost_functions.h:563-627 RelativePoseCostFunction)."""
+    x1 = jnp.concatenate([uv1, jnp.ones_like(uv1[..., :1])], axis=-1)
+    x2 = jnp.concatenate([uv2, jnp.ones_like(uv2[..., :1])], axis=-1)
+    Fx1 = x1 @ F.T
+    Ftx2 = x2 @ F
+    num = jnp.sum(x2 * Fx1, axis=-1) ** 2
+    den = Fx1[..., 0] ** 2 + Fx1[..., 1] ** 2 + Ftx2[..., 0] ** 2 + Ftx2[..., 1] ** 2
+    return num / jnp.maximum(den, 1e-12)
+
+
+def decompose_essential(E: Array, uv1: Array, uv2: Array, mask: Array) -> tuple[Array, Array]:
+    """Pick the (R, t) from E maximizing cheirality over the given points.
+
+    uv normalized camera coords of cam1/cam2 (cam1 at identity). Returns the
+    world-to-cam2 pose (q, t) with |t| = 1. reference: base/pose.cc
+    PoseFromEssentialMatrix / essential_matrix.cc DecomposeEssentialMatrix.
+    """
+    U, _, Vt = jnp.linalg.svd(E)
+    # ensure rotations
+    U = U * jnp.sign(jnp.linalg.det(U))
+    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
+    W = jnp.array([[0.0, 1.0, 0.0], [-1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+    R1 = U @ W @ Vt
+    R2 = U @ W.T @ Vt
+    tvec = U[:, 2]
+
+    def count_front(R, t):
+        q = se3.rotmat_to_quat(R)
+        q1 = jnp.array([1.0, 0.0, 0.0, 0.0])
+        t1 = jnp.zeros(3)
+        P1 = proj_matrix(q1, t1)
+        P2 = proj_matrix(q, t)
+        X = triangulate_dlt(
+            jnp.broadcast_to(P1, uv1.shape[:1] + (3, 4)),
+            jnp.broadcast_to(P2, uv1.shape[:1] + (3, 4)),
+            uv1,
+            uv2,
+        )
+        z1 = X[:, 2]
+        z2 = (X @ R.T + t)[:, 2]
+        # also reject points near infinity
+        good = (z1 > 0) & (z2 > 0) & (jnp.abs(z1) < 1e3) & mask.astype(bool)
+        return jnp.sum(good), q
+
+    cands = [
+        count_front(R1, tvec),
+        count_front(R1, -tvec),
+        count_front(R2, tvec),
+        count_front(R2, -tvec),
+    ]
+    counts = jnp.stack([c[0] for c in cands])
+    qs = jnp.stack([c[1] for c in cands])
+    ts = jnp.stack([tvec, -tvec, tvec, -tvec])
+    best = jnp.argmax(counts)
+    return qs[best], ts[best]
+
+
+# ---------------------------------------------------------------------------
+# homography
+
+
+def homography_dlt(uv1: Array, uv2: Array, mask: Array | None = None) -> Array:
+    """4+ point homography via normalized DLT (estimators/homography_matrix.h)."""
+    n = uv1.shape[0]
+    m = jnp.ones((n,), uv1.dtype) if mask is None else mask
+    n1, T1 = _normalize_points(uv1)
+    n2, T2 = _normalize_points(uv2)
+    x1, y1 = n1[:, 0], n1[:, 1]
+    x2, y2 = n2[:, 0], n2[:, 1]
+    z = jnp.zeros_like(x1)
+    o = jnp.ones_like(x1)
+    r1 = jnp.stack([-x1, -y1, -o, z, z, z, x2 * x1, x2 * y1, x2], axis=-1)
+    r2 = jnp.stack([z, z, z, -x1, -y1, -o, y2 * x1, y2 * y1, y2], axis=-1)
+    A = jnp.concatenate([r1 * m[:, None], r2 * m[:, None]], axis=0)
+    _, _, vt = jnp.linalg.svd(A, full_matrices=True)  # full: nullspace vector needed for minimal samples
+    H = vt[-1].reshape(3, 3)
+    Hn = jnp.linalg.solve(T2, H @ T1)
+    return Hn / jnp.where(jnp.abs(Hn[2, 2]) < 1e-12, 1e-12, Hn[2, 2])
+
+
+def homography_transfer_error(H: Array, uv1: Array, uv2: Array) -> Array:
+    """Squared symmetric-free forward transfer error |H x1 - x2|^2."""
+    x1 = jnp.concatenate([uv1, jnp.ones_like(uv1[..., :1])], axis=-1)
+    y = x1 @ H.T
+    w = jnp.where(jnp.abs(y[..., 2:3]) < 1e-12, 1e-12, y[..., 2:3])
+    p = y[..., :2] / w
+    return jnp.sum((p - uv2) ** 2, axis=-1)
