@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""End-to-end registration benchmark on the real TPU chip.
+
+Runs the full lidar-constrained incremental mapping pipeline (the SURVEY.md
+§7.2 slice) on a synthetic corridor world with exact ground truth — the
+published Smith Hall / NSH datasets are not fetchable in this zero-egress
+environment, so the workload mirrors their structure (prior lidar map with
+normals, pose-prior seeding, forward trajectory) at the quick-start scale.
+
+Prints ONE JSON line:
+  metric      frames registered per second (end-to-end, incl. association,
+              RANSAC, local BA, spherical global BA)
+  vs_baseline ratio against the reference's documented guidance of "a few
+              minutes for tens of images" on CPU+CUDA (doc/tutorial.rst:354):
+              25 images / 180 s ~= 0.14 frames/s.
+  ate_m       trajectory RMSE vs ground truth (accuracy gate; must stay cm-level)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "tests")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+
+# persistent compilation cache: the axon tunnel compiles at ~2-4 min per
+# program; caching makes repeat benchmark runs start hot.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_colmap_pcd")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import numpy as np
+
+REFERENCE_FPS = 25.0 / 180.0  # "a few minutes for tens of images"
+
+
+def main():
+    from synthetic import ate_rmse, make_world
+
+    from colmap_pcd_tpu.models.controllers import (
+        ControllerOptions,
+        IncrementalMapperController,
+    )
+    from colmap_pcd_tpu.models.incremental_mapper import MapperOptions
+
+    rng = np.random.default_rng(7)
+    n_images = 12
+    rec, graph, lmap, gt = make_world(rng, n_images=n_images, n_points=1000, noise_px=0.3)
+
+    opts = MapperOptions(
+        if_add_lidar_constraint=True,
+        init_image_id1=1,
+        init_image_id2=2,
+        abs_pose_min_num_inliers=15,
+        init_min_num_inliers=50,
+        num_ransac_hypotheses=2048,
+    )
+    ctl = IncrementalMapperController(
+        rec, graph, opts, ControllerOptions(verbose=False),
+        lidar_map=lmap, pose_priors={1: gt[0]},
+    )
+
+    t0 = time.time()
+    ok = ctl.reconstruct()
+    dt = time.time() - t0
+
+    n_reg = rec.num_reg_images
+    fps = n_reg / dt if dt > 0 else 0.0
+    ate = ate_rmse(rec, gt) if ok else float("inf")
+    print(
+        json.dumps(
+            {
+                "metric": "frames_registered_per_s",
+                "value": round(fps, 4),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / REFERENCE_FPS, 2),
+                "ate_m": round(ate, 4),
+                "registered": n_reg,
+                "total_images": n_images,
+                "wall_s": round(dt, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

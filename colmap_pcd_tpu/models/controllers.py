@@ -1,0 +1,285 @@
+"""Pipeline controllers: the register->triangulate->BA loop, batch BA, automatic.
+
+Parity with src/controllers/:
+  * IncrementalMapperController (incremental_mapper.cc:442-901): load data,
+    initialize (lidar-seeded or classic), then the per-image hot loop with
+    iterative local refinement and threshold-gated global refinement,
+    snapshots, and the final global refinement.
+  * BundleAdjustmentController (bundle_adjustment.cc:76-204): whole-map BA
+    with fresh NN lidar associations per point (the GUI "Bundle adjustment"
+    button / `bundle_adjuster` CLI path).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .correspondence_graph import CorrespondenceGraph
+from .incremental_mapper import IncrementalMapper, MapperOptions, _bucket
+from .lidar_map import LidarMap
+from .reconstruction import (
+    INVALID_POINT3D,
+    LIDAR_ICP,
+    LIDAR_ICP_GROUND,
+    LidarAssoc,
+    Reconstruction,
+    save_image_poses,
+)
+
+
+@dataclass
+class ControllerOptions:
+    """IncrementalMapperOptions controller-level fields
+    (controllers/incremental_mapper.h:140-220)."""
+
+    min_num_matches: int = 15
+    max_num_models: int = 50
+    min_model_size: int = 10
+    init_num_trials: int = 200
+    ba_local_max_refinements: int = 2
+    ba_local_max_refinement_change: float = 0.001
+    ba_global_max_refinements: int = 5
+    ba_global_max_refinement_change: float = 0.0005
+    ba_global_images_ratio: float = 1.1
+    ba_global_points_ratio: float = 1.1
+    ba_global_images_freq: int = 500
+    ba_global_points_freq: int = 250000
+    snapshot_path: str = ""
+    snapshot_images_freq: int = 0
+    image_pose_save_folder: str = ""
+    verbose: bool = True
+
+
+@dataclass
+class MapperState:
+    num_img_last_global_ba: int = 2
+    num_pts_last_global_ba: int = 0
+
+
+class IncrementalMapperController:
+    """Drives IncrementalMapper through a full reconstruction."""
+
+    def __init__(
+        self,
+        rec: Reconstruction,
+        graph: CorrespondenceGraph,
+        mapper_options: MapperOptions = None,
+        controller_options: ControllerOptions = None,
+        lidar_map: LidarMap | None = None,
+        pose_priors=None,
+    ):
+        self.rec = rec
+        self.graph = graph
+        self.opts = mapper_options or MapperOptions()
+        self.copts = controller_options or ControllerOptions()
+        self.mapper = IncrementalMapper(rec, graph, lidar_map, pose_priors)
+        self.state = MapperState()
+        self.callbacks = []  # called after each registration
+
+    def _log(self, msg: str):
+        if self.copts.verbose:
+            print(f"[mapper] {msg}", flush=True)
+
+    # ------------------------------------------------------------------
+    def initialize(self) -> bool:
+        opts = self.opts
+        id1, id2 = self.mapper.find_initial_image_pair(opts)
+        if id2 < 0:
+            return False
+        self._log(f"initializing with image pair ({id1}, {id2})")
+        if opts.if_add_lidar_constraint and self.mapper.lidar_map is not None:
+            ok = self.mapper.register_initial_image_pair_by_depth_proj(opts, id1, id2)
+        else:
+            ok = self.mapper.register_initial_image_pair(opts, id1, id2)
+        if not ok:
+            self._log("initialization failed")
+            return False
+        self._log(
+            f"initialized: {len(self.rec.points3D)} points, "
+            f"{self.rec.num_reg_images} images"
+        )
+        if opts.if_add_lidar_constraint:
+            self.mapper.adjust_global_bundle_by_lidar(opts)
+        else:
+            self.mapper.adjust_global_bundle(opts)
+        self.mapper.filter_points(opts)
+        return True
+
+    def iterative_local_refinement(self, image_id: int):
+        """(:106-148): repeat local BA while it keeps changing things."""
+        opts = self.opts
+        for _ in range(self.copts.ba_local_max_refinements):
+            # modified points = points observed by this image
+            img = self.rec.images[image_id]
+            pids = {
+                int(p)
+                for p in img.point3D_ids[img.point3D_ids != INVALID_POINT3D]
+                if int(p) in self.rec.points3D
+            }
+            report = self.mapper.adjust_local_bundle(opts, image_id, pids)
+            changed = (
+                report.num_merged_observations
+                + report.num_completed_observations
+                + report.num_filtered_observations
+            )
+            denom = max(report.num_adjusted_observations, 1)
+            if changed / denom < self.copts.ba_local_max_refinement_change:
+                break
+
+    def iterative_global_refinement(self):
+        """(:150-180): complete+merge, then repeated global BA + filtering."""
+        opts = self.opts
+        tri_opts_pids = list(self.rec.points3D.keys())
+        from .triangulator import TriangulatorOptions
+
+        topts = TriangulatorOptions()
+        self.mapper.triangulator.complete_tracks(topts, tri_opts_pids)
+        self.mapper.triangulator.merge_tracks(topts, tri_opts_pids)
+        for _ in range(self.copts.ba_global_max_refinements):
+            if opts.if_add_lidar_constraint:
+                self.mapper.adjust_global_bundle_by_lidar(opts)
+            else:
+                self.mapper.adjust_global_bundle(opts)
+            n_changed = self.mapper.filter_points(opts)
+            n_obs = sum(len(p.track) for p in self.rec.points3D.values())
+            if n_changed / max(n_obs, 1) < self.copts.ba_global_max_refinement_change:
+                break
+        self.state.num_img_last_global_ba = self.rec.num_reg_images
+        self.state.num_pts_last_global_ba = len(self.rec.points3D)
+
+    def _check_global_refinement(self) -> bool:
+        s = self.state
+        return (
+            self.rec.num_reg_images >= self.copts.ba_global_images_ratio * s.num_img_last_global_ba
+            or self.rec.num_reg_images >= self.copts.ba_global_images_freq + s.num_img_last_global_ba
+            or len(self.rec.points3D) >= self.copts.ba_global_points_ratio * s.num_pts_last_global_ba
+            or len(self.rec.points3D) >= self.copts.ba_global_points_freq + s.num_pts_last_global_ba
+        )
+
+    def reconstruct(self) -> bool:
+        """The main loop (Reconstruct, controllers/incremental_mapper.cc:591)."""
+        from .triangulator import TriangulatorOptions
+
+        opts = self.opts
+        if self.rec.num_reg_images == 0 and not self.initialize():
+            return False
+
+        topts = TriangulatorOptions(min_angle=opts.filter_min_tri_angle)
+        t0 = time.time()
+        while True:
+            next_images = self.mapper.find_next_images(opts)
+            if not next_images:
+                break
+            success = False
+            for image_id in next_images:
+                self._log(
+                    f"registering image #{image_id} "
+                    f"({self.rec.num_reg_images + 1}) "
+                    f"[{self.rec.num_reg_images / max(time.time() - t0, 1e-9):.2f} reg/s]"
+                )
+                if self.mapper.register_next_image(opts, image_id):
+                    self.mapper.clear_lidar_points()
+                    self.mapper.triangulator.triangulate_image(topts, image_id)
+                    self.iterative_local_refinement(image_id)
+                    if self._check_global_refinement():
+                        self.iterative_global_refinement()
+                    if (
+                        self.copts.snapshot_path
+                        and self.copts.snapshot_images_freq > 0
+                        and self.rec.num_reg_images % self.copts.snapshot_images_freq == 0
+                    ):
+                        self.write_snapshot()
+                    for cb in self.callbacks:
+                        cb(image_id)
+                    success = True
+                    break
+            if not success:
+                break
+        self.iterative_global_refinement()
+        if self.copts.image_pose_save_folder:
+            os.makedirs(self.copts.image_pose_save_folder, exist_ok=True)
+            save_image_poses(
+                os.path.join(self.copts.image_pose_save_folder, "pose.ply"), self.rec
+            )
+        self._log(
+            f"done: {self.rec.num_reg_images} images, {len(self.rec.points3D)} points, "
+            f"mean track {self.rec.mean_track_length():.2f}"
+        )
+        return True
+
+    def write_snapshot(self):
+        path = os.path.join(
+            self.copts.snapshot_path, time.strftime("%Y%m%d-%H%M%S")
+        )
+        self.rec.write(path)
+
+
+class BundleAdjustmentController:
+    """Whole-map batch BA with fresh lidar associations
+    (controllers/bundle_adjustment.cc:76-204)."""
+
+    def __init__(
+        self,
+        rec: Reconstruction,
+        mapper_options: MapperOptions = None,
+        lidar_map: LidarMap | None = None,
+        refine_intrinsics: bool = False,
+    ):
+        self.rec = rec
+        self.opts = mapper_options or MapperOptions()
+        self.lidar_map = lidar_map
+        self.refine_intrinsics = refine_intrinsics
+
+    def run(self) -> bool:
+        import jax.numpy as jnp
+
+        from ..ops import ba as ba_ops
+        from ..ops import pointcloud as pc_ops
+        from .incremental_mapper import IncrementalMapper
+
+        opts = self.opts
+        rec = self.rec
+        if rec.num_reg_images < 2:
+            return False
+        rec.clear_lidar_points()
+        mapper = IncrementalMapper(rec, CorrespondenceGraph(), self.lidar_map)
+
+        if self.lidar_map is not None and opts.if_add_lidar_constraint:
+            # per-point NN with gates dist2plane > 1 | dist2point > 2 dropped
+            # (bundle_adjustment.cc:127-179)
+            pids = sorted(rec.points3D.keys())
+            pts = np.stack([rec.points3D[p].xyz for p in pids]).astype(np.float32)
+            lpts, lnrs, dists = self.lidar_map.nn_query(pts, pad_to=_bucket(len(pids)))
+            planes = np.asarray(
+                pc_ops.plane_through(jnp.asarray(lpts), jnp.asarray(lnrs))
+            )
+            ground = np.asarray(pc_ops.classify_ground(jnp.asarray(lnrs)))
+            for i, pid in enumerate(pids):
+                d2plane = abs(float(np.dot(planes[i, :3], pts[i]) + planes[i, 3]))
+                if d2plane > 1.0 or dists[i] > 2.0:
+                    continue
+                typ = LIDAR_ICP_GROUND if ground[i] else LIDAR_ICP
+                rec.add_lidar_point(pid, LidarAssoc(typ, np.asarray(lpts[i], np.float64), planes[i]))
+
+        pose_fixed: set[int] = set()
+        tvec_fixed: dict[int, list[int]] = {}
+        if not (self.lidar_map is not None and opts.if_add_lidar_constraint):
+            reg = rec.registered_ids
+            pose_fixed = {reg[0]}
+            tvec_fixed = {reg[1]: [0]}
+
+        mapper._solve_ba(
+            opts,
+            list(rec.registered_ids),
+            set(rec.points3D.keys()),
+            pose_fixed,
+            tvec_fixed,
+            max_iterations=opts.ba_global_max_num_iterations * 2,
+            lidar_assocs=rec.lidar_points,
+        )
+        rec.update_point_errors()
+        return True

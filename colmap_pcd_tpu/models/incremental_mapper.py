@@ -1,0 +1,878 @@
+"""The incremental SfM state machine with LiDAR-constrained bundle adjustment.
+
+Parity re-design of src/sfm/incremental_mapper.{h,cc} (2,358 LoC):
+
+  * lidar-seeded initialization (RegisterInitialImagePairByDepthProj,
+    incremental_mapper.cc:489-693): image1 pose from init options / pose
+    prior, features ray-plane intersected with the map, image2 by PnP,
+    3D points created at lidar depths.
+  * classic two-view initialization (RegisterInitialImagePair, :391).
+  * next-image selection by visible triangulated correspondences
+    (FindNextImages, :299 — visibility-pyramid score simplified to
+    visible-point count).
+  * PnP registration with RANSAC + pose-only refinement
+    (RegisterNextImage, :706-964).
+  * lidar-aware local BA (AdjustLocalBundle, :1004-1213): variable points
+    split by track length into depth-projection association (short) and
+    kd-tree ICP with shrinking radius (long); first-image pose fixed for the
+    first `first_image_fixed_frames` registrations.
+  * spherical global BA (AdjustGlobalBundleByLidar, :1297-1493): only images
+    within ba_spherical_search_radius of the newest camera are variable;
+    their points get NN plane associations with ground classification;
+    per-point global_opt_num incremented after the solve.
+  * classic global BA (:1225-1285) and filtering (:1551-1580).
+
+All solves land on one device BA executable (ops/ba.py) with padded shapes
+bucketed to powers of two, so the per-registration work is a handful of
+compiled programs regardless of scene growth.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import ba as ba_ops
+from ..ops import camera_models as cm
+from ..ops import pointcloud as pc_ops
+from ..ops import ransac as ransac_ops
+from ..ops import se3, solvers
+from .correspondence_graph import CorrespondenceGraph
+from .lidar_map import LidarMap
+from .reconstruction import (
+    INVALID_POINT3D,
+    LIDAR_ICP,
+    LIDAR_ICP_GROUND,
+    LIDAR_PROJ,
+    Image,
+    LidarAssoc,
+    Reconstruction,
+)
+from .triangulator import IncrementalTriangulator, TriangulatorOptions
+
+
+@dataclass
+class MapperOptions:
+    """Union of IncrementalMapper::Options and the lidar fields of
+    IncrementalMapperOptions (controllers/incremental_mapper.h:40-140)."""
+
+    # lidar
+    if_add_lidar_constraint: bool = True
+    if_add_lidar_corresponding: bool = True
+    first_image_fixed_frames: int = 8
+    min_proj_num: int = 1
+    kdtree_max_search_range: float = 1.5
+    kdtree_min_search_range: float = 0.2
+    search_range_drop_speed: float = 0.1
+    ba_spherical_search_radius: float = 40.0
+    ba_match_features_threshold: int = 200
+    proj_lidar_constraint_weight: float = 10.0
+    icp_lidar_constraint_weight: float = 1000.0
+    icp_ground_lidar_constraint_weight: float = 10000.0
+    proj_max_dist_error: float = 10.0
+    icp_max_dist_error: float = 2.0
+    # init
+    init_image_id1: int = 1
+    init_image_id2: int = -1
+    init_image_x: float = 0.0
+    init_image_y: float = 0.0
+    init_image_z: float = 0.0
+    init_image_roll: float = 0.0
+    init_image_pitch: float = 0.0
+    init_image_yaw: float = 0.0
+    init_min_num_inliers: int = 100
+    init_max_error: float = 4.0
+    init_max_forward_motion: float = 0.95
+    init_min_tri_angle: float = 16.0
+    init_max_reg_trials: int = 2
+    # registration
+    abs_pose_max_error: float = 24.0
+    abs_pose_min_num_inliers: int = 30
+    abs_pose_min_inlier_ratio: float = 0.25
+    max_reg_trials: int = 3
+    # local BA
+    local_ba_num_images: int = 6
+    local_ba_min_tri_angle: float = 6.0
+    # filtering
+    filter_max_reproj_error: float = 8.0
+    filter_min_tri_angle: float = 1.5
+    min_focal_length_ratio: float = 0.1
+    max_focal_length_ratio: float = 10.0
+    max_extra_param: float = 1.0
+    # BA solver
+    ba_local_max_num_iterations: int = 25
+    ba_global_max_num_iterations: int = 50
+    loss_type: int = ba_ops.LOSS_TRIVIAL
+    loss_scale: float = 1.0
+    num_ransac_hypotheses: int = 4096
+    fix_existing_images: bool = False
+
+
+@dataclass
+class LocalBAReport:
+    num_adjusted_observations: int = 0
+    num_merged_observations: int = 0
+    num_completed_observations: int = 0
+    num_filtered_observations: int = 0
+
+
+def _bucket(n: int, minimum: int = 16) -> int:
+    """Round up to a power of two to bound jit recompilations."""
+    return max(minimum, 1 << int(math.ceil(math.log2(max(n, 1)))))
+
+
+class IncrementalMapper:
+    def __init__(
+        self,
+        rec: Reconstruction,
+        graph: CorrespondenceGraph,
+        lidar_map: LidarMap | None = None,
+        pose_priors: dict[int, tuple[np.ndarray, np.ndarray]] | None = None,
+    ):
+        self.rec = rec
+        self.graph = graph
+        self.lidar_map = lidar_map
+        self.pose_priors = pose_priors or {}
+        self.triangulator = IncrementalTriangulator(rec, graph)
+        self.num_reg_trials: dict[int, int] = {}
+        self.filtered_images: set[int] = set()
+        self.existing_image_ids: set[int] = set()
+        # per-image depth-projection cache for the current BA round
+        # (lidar_searched_image_ids_, bundle_adjustment.h:189)
+        self._proj_cache: dict[int, dict[int, tuple[np.ndarray, np.ndarray]]] = {}
+
+    # ------------------------------------------------------------------ lidar
+    def clear_lidar_points(self):
+        self.rec.clear_lidar_points()
+        self._proj_cache.clear()
+
+    def _camera_of(self, image_id: int):
+        img = self.rec.images[image_id]
+        return self.rec.cameras[img.camera_id]
+
+    def _project_image_to_cloud(self, image_id: int):
+        """SetNewImage(map overload): associate this image's triangulated
+        features with lidar points; cache per image (Project2Image)."""
+        if image_id in self._proj_cache:
+            return self._proj_cache[image_id]
+        img = self.rec.images[image_id]
+        cam = self._camera_of(image_id)
+        feat_idx = np.nonzero(img.point3D_ids != INVALID_POINT3D)[0]
+        result: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        if feat_idx.size > 0 and self.lidar_map is not None:
+            out = self.lidar_map.project_to_image(
+                img.xys[feat_idx].astype(np.float32),
+                np.asarray(img.qvec, np.float32),
+                np.asarray(img.tvec, np.float32),
+                cam.padded_params(),
+                cam.model_id,
+                cam.width,
+                cam.height,
+            )
+            for k, fi in enumerate(feat_idx):
+                if out["found"][k]:
+                    pid = int(img.point3D_ids[fi])
+                    result[pid] = (out["lidar_pt"][k], out["lidar_nrm"][k])
+        self._proj_cache[image_id] = result
+        return result
+
+    def _match_variable_point_to_lidar(self, point3D_id: int, image_id: int, opts: MapperOptions):
+        """Project2Image + MatchVariablePoint2LidarPoint: across the track's
+        cached projections, pick the lidar match whose (point - lidar_pt)
+        vector is most perpendicular to the normal
+        (bundle_adjustment.cc:241-350)."""
+        p = self.rec.points3D.get(point3D_id)
+        if p is None:
+            return
+        best = None
+        best_cos = np.inf
+        for iid, _ in p.track:
+            # pair gating by feature-match count (Project2Image threshold)
+            if iid != image_id:
+                corrs = self.graph.num_matches(image_id, iid)
+                if corrs and corrs <= opts.ba_match_features_threshold:
+                    continue
+            cache = self._project_image_to_cloud(iid)
+            hit = cache.get(point3D_id)
+            if hit is None:
+                continue
+            lpt, lnr = hit
+            vec = p.xyz - lpt
+            nv = np.linalg.norm(vec) * np.linalg.norm(lnr)
+            if nv < 1e-12:
+                cosang = 0.0
+            else:
+                cosang = abs(float(np.dot(vec, lnr)) / nv)
+            if cosang < best_cos:
+                best_cos = cosang
+                best = (lpt, lnr)
+        if best is None:
+            return
+        lpt, lnr = best
+        plane = np.asarray(pc_ops.plane_through(jnp.asarray(lpt), jnp.asarray(lnr)))
+        self.rec.add_lidar_point(point3D_id, LidarAssoc(LIDAR_PROJ, np.asarray(lpt, np.float64), plane))
+
+    def _match_closest_lidar_points(self, point3D_ids: list[int], max_ranges: list[float]):
+        """Batched kd-tree replacement: NN + ground classification + range gate
+        (MatchClosestLidarPoint, bundle_adjustment.cc:358-410)."""
+        if not point3D_ids or self.lidar_map is None:
+            return
+        pts = np.stack([self.rec.points3D[pid].xyz for pid in point3D_ids]).astype(np.float32)
+        lpts, lnrs, dists = self.lidar_map.nn_query(pts, pad_to=_bucket(len(point3D_ids), 1024))
+        ground = np.asarray(pc_ops.classify_ground(jnp.asarray(lnrs)))
+        planes = np.asarray(pc_ops.plane_through(jnp.asarray(lpts), jnp.asarray(lnrs)))
+        for i, pid in enumerate(point3D_ids):
+            if not np.isfinite(lnrs[i]).all() or np.linalg.norm(lnrs[i]) < 1e-6:
+                continue
+            if dists[i] > max_ranges[i]:
+                continue
+            typ = LIDAR_ICP_GROUND if ground[i] else LIDAR_ICP
+            self.rec.add_lidar_point(
+                pid, LidarAssoc(typ, np.asarray(lpts[i], np.float64), planes[i])
+            )
+
+    # ------------------------------------------------------------------- init
+    def init_pose_from_options(self, opts: MapperOptions) -> tuple[np.ndarray, np.ndarray]:
+        """Seed pose from init_image_* flags with the lidar->camera axis
+        conversion (incremental_mapper.cc:517-552)."""
+        roll = math.radians(opts.init_image_roll)
+        pitch = -math.radians(opts.init_image_pitch)
+        yaw = -math.radians(opts.init_image_yaw)
+        # reference builds R_wc = yaw(aboutY) * pitch(aboutX) * roll(aboutZ)
+        def rot(axis, a):
+            c, s = math.cos(a), math.sin(a)
+            if axis == "x":
+                return np.asarray([[1, 0, 0], [0, c, -s], [0, s, c]])
+            if axis == "y":
+                return np.asarray([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+            return np.asarray([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+
+        R_wc = rot("y", yaw) @ rot("x", pitch) @ rot("z", roll)
+        t_wc = np.asarray([-opts.init_image_y, -opts.init_image_z, opts.init_image_x])
+        R_cw = R_wc.T
+        t_cw = -R_cw @ t_wc
+        q_cw = np.asarray(
+            se3.rotmat_to_quat(jnp.asarray(R_cw, jnp.float32)), np.float64
+        )
+        return q_cw, t_cw
+
+    def register_initial_image_pair_by_depth_proj(
+        self, opts: MapperOptions, image_id1: int, image_id2: int
+    ) -> bool:
+        assert self.rec.num_reg_images == 0
+        img1 = self.rec.images[image_id1]
+        img2 = self.rec.images[image_id2]
+        cam1 = self._camera_of(image_id1)
+        cam2 = self._camera_of(image_id2)
+
+        q1, t1 = self.init_pose_from_options(opts)
+        if image_id1 in self.pose_priors:
+            q1, t1 = self.pose_priors[image_id1]
+        img1.qvec, img1.tvec = np.asarray(q1, np.float64), np.asarray(t1, np.float64)
+
+        matches = self.graph.matches_between(image_id1, image_id2)
+        if len(matches) < opts.init_min_num_inliers:
+            return False
+
+        # lidar depth association + world-frame ray-plane intersection
+        feat_xy = img1.xys[matches[:, 0]].astype(np.float32)
+        out = self.lidar_map.project_to_image(
+            feat_xy,
+            np.asarray(img1.qvec, np.float32),
+            np.asarray(img1.tvec, np.float32),
+            cam1.padded_params(),
+            cam1.model_id,
+            cam1.width,
+            cam1.height,
+        )
+        planes = np.asarray(
+            pc_ops.plane_through(jnp.asarray(out["lidar_pt"]), jnp.asarray(out["lidar_nrm"]))
+        )
+        X, ok = pc_ops.ray_plane_points(
+            jnp.asarray(feat_xy),
+            jnp.asarray(planes),
+            jnp.asarray(out["found"]),
+            jnp.asarray(img1.qvec, jnp.float32),
+            jnp.asarray(img1.tvec, jnp.float32),
+            jnp.asarray(cam1.padded_params()),
+            cam1.model_id,
+        )
+        X, ok = np.asarray(X), np.asarray(ok)
+        sel = np.nonzero(ok)[0]
+        if sel.size < max(opts.abs_pose_min_num_inliers, 6):
+            return False
+
+        # PnP for image2 on the lidar-depth points
+        uv2 = img2.xys[matches[sel, 1]].astype(np.float32)
+        n2 = np.asarray(
+            cm.image_to_world(cam2.model_id, jnp.asarray(cam2.padded_params()), jnp.asarray(uv2))
+        )
+        npad = _bucket(sel.size, 1024)
+        uvp = np.zeros((npad, 2), np.float32)
+        Xp = np.zeros((npad, 3), np.float32)
+        vp = np.zeros(npad, np.float32)
+        uvp[: sel.size] = n2
+        Xp[: sel.size] = X[sel]
+        vp[: sel.size] = 1.0
+        thr = opts.abs_pose_max_error / cam2.mean_focal_length()
+        res = ransac_ops.ransac_pnp(
+            jnp.asarray(uvp), jnp.asarray(Xp), jnp.asarray(vp),
+            jax.random.PRNGKey(0),
+            ransac_ops.RansacOptions(max_error=thr, num_hypotheses=opts.num_ransac_hypotheses),
+        )
+        if int(res.num_inliers) < opts.abs_pose_min_num_inliers:
+            return False
+        img2.qvec = np.asarray(res.q, np.float64)
+        img2.tvec = np.asarray(res.t, np.float64)
+        # pose prior for image2 wins if present (reference :577-580)
+        if image_id2 in self.pose_priors:
+            img2.qvec, img2.tvec = (np.asarray(v, np.float64) for v in self.pose_priors[image_id2])
+
+        self.rec.register_image(image_id1)
+        self.rec.register_image(image_id2)
+        self.num_reg_trials[image_id1] = self.num_reg_trials.get(image_id1, 0) + 1
+        self.num_reg_trials[image_id2] = self.num_reg_trials.get(image_id2, 0) + 1
+
+        inlier_mask = np.asarray(res.inlier_mask)[: sel.size]
+        for k, si in enumerate(sel):
+            if not inlier_mask[k]:
+                continue
+            f1, f2 = int(matches[si, 0]), int(matches[si, 1])
+            if img1.point3D_ids[f1] != INVALID_POINT3D or img2.point3D_ids[f2] != INVALID_POINT3D:
+                continue
+            self.rec.add_point3D(X[si], [(image_id1, f1), (image_id2, f2)])
+        # refine image2 pose against the created points
+        self._refine_pose(image_id2, opts)
+        return True
+
+    def register_initial_image_pair(self, opts: MapperOptions, image_id1: int, image_id2: int) -> bool:
+        """Classic two-view init (RegisterInitialImagePair, :391): relative
+        pose from the essential matrix, triangulate, |t|=1 gauge."""
+        from . import two_view
+
+        assert self.rec.num_reg_images == 0
+        img1, img2 = self.rec.images[image_id1], self.rec.images[image_id2]
+        cam1, cam2 = self._camera_of(image_id1), self._camera_of(image_id2)
+        matches = self.graph.matches_between(image_id1, image_id2)
+        if len(matches) < opts.init_min_num_inliers:
+            return False
+        g = two_view.estimate_two_view_geometry(
+            img1.xys[matches[:, 0]].astype(np.float32),
+            img2.xys[matches[:, 1]].astype(np.float32),
+            cam1.padded_params(), cam2.padded_params(),
+            cam1.model_id, cam2.model_id,
+            two_view.TwoViewOptions(max_error=opts.init_max_error),
+        )
+        if g.config != two_view.CALIBRATED or g.qvec is None:
+            return False
+        if len(g.inlier_matches) < opts.init_min_num_inliers:
+            return False
+        if g.tri_angle < math.radians(opts.init_min_tri_angle) / 4:
+            return False
+        img1.qvec = np.asarray([1.0, 0, 0, 0])
+        img1.tvec = np.zeros(3)
+        img2.qvec = np.asarray(g.qvec, np.float64)
+        img2.tvec = np.asarray(g.tvec, np.float64)
+        self.rec.register_image(image_id1)
+        self.rec.register_image(image_id2)
+        # triangulate inliers
+        rows = g.inlier_matches[:, 0]
+        n1 = np.asarray(cm.image_to_world(cam1.model_id, jnp.asarray(cam1.padded_params()), jnp.asarray(img1.xys[matches[rows, 0]], jnp.float32)))
+        n2 = np.asarray(cm.image_to_world(cam2.model_id, jnp.asarray(cam2.padded_params()), jnp.asarray(img2.xys[matches[rows, 1]], jnp.float32)))
+        P1 = solvers.proj_matrix(jnp.asarray(img1.qvec, jnp.float32), jnp.asarray(img1.tvec, jnp.float32))
+        P2 = solvers.proj_matrix(jnp.asarray(img2.qvec, jnp.float32), jnp.asarray(img2.tvec, jnp.float32))
+        N = len(rows)
+        X = np.asarray(solvers.triangulate_dlt(
+            jnp.broadcast_to(P1, (N, 3, 4)), jnp.broadcast_to(P2, (N, 3, 4)),
+            jnp.asarray(n1), jnp.asarray(n2),
+        ))
+        z1 = X[:, 2]  # cam1 at identity
+        X2c = np.asarray(se3.se3_apply(jnp.asarray(img2.qvec, jnp.float32), jnp.asarray(img2.tvec, jnp.float32), jnp.asarray(X, jnp.float32)))
+        good = (z1 > 0) & (X2c[:, 2] > 0) & np.isfinite(X).all(axis=1)
+        for k in np.nonzero(good)[0]:
+            f1, f2 = int(matches[rows[k], 0]), int(matches[rows[k], 1])
+            if img1.point3D_ids[f1] == INVALID_POINT3D and img2.point3D_ids[f2] == INVALID_POINT3D:
+                self.rec.add_point3D(X[k], [(image_id1, f1), (image_id2, f2)])
+        return True
+
+    def find_initial_image_pair(self, opts: MapperOptions) -> tuple[int, int]:
+        """(FindInitialImagePair, :215): first image = most correspondences;
+        second = most matches to the first."""
+        if opts.init_image_id1 in self.rec.images and opts.init_image_id2 in self.rec.images and opts.init_image_id2 > 0:
+            return opts.init_image_id1, opts.init_image_id2
+        ids = sorted(
+            self.rec.images.keys(),
+            key=lambda i: -self.graph.num_correspondences_for_image(i),
+        )
+        id1 = opts.init_image_id1 if opts.init_image_id1 in self.rec.images else ids[0]
+        best2, best_m = -1, -1
+        for j in self.rec.images:
+            if j == id1:
+                continue
+            m = self.graph.num_matches(id1, j)
+            if m > best_m:
+                best2, best_m = j, m
+        return id1, best2
+
+    # ----------------------------------------------------------- registration
+    def find_next_images(self, opts: MapperOptions) -> list[int]:
+        """Rank unregistered images by visible triangulated points
+        (FindNextImages, :299)."""
+        scores = []
+        for iid, img in self.rec.images.items():
+            if img.registered or iid in self.filtered_images:
+                continue
+            if self.num_reg_trials.get(iid, 0) >= opts.max_reg_trials:
+                continue
+            score = 0
+            for fidx in range(img.xys.shape[0]):
+                for cid, cfeat in self.graph.find_correspondences(iid, fidx):
+                    cimg = self.rec.images.get(cid)
+                    if cimg is not None and cimg.registered and cimg.point3D_ids[cfeat] != INVALID_POINT3D:
+                        score += 1
+                        break
+            if score > 0:
+                scores.append((score, iid))
+        scores.sort(key=lambda s: -s[0])
+        return [iid for _, iid in scores]
+
+    def register_next_image(self, opts: MapperOptions, image_id: int) -> bool:
+        """(RegisterNextImage, :706-964)."""
+        img = self.rec.images[image_id]
+        cam = self._camera_of(image_id)
+        self.num_reg_trials[image_id] = self.num_reg_trials.get(image_id, 0) + 1
+
+        # 2D-3D correspondence search over the graph (:770-823)
+        tri_uv, tri_X, tri_feat, tri_pid = [], [], [], []
+        for fidx in range(img.xys.shape[0]):
+            seen_pids = set()
+            for cid, cfeat in self.graph.find_correspondences(image_id, fidx):
+                cimg = self.rec.images.get(cid)
+                if cimg is None or not cimg.registered:
+                    continue
+                pid = int(cimg.point3D_ids[cfeat])
+                if pid == INVALID_POINT3D or pid in seen_pids or pid not in self.rec.points3D:
+                    continue
+                seen_pids.add(pid)
+                tri_uv.append(img.xys[fidx])
+                tri_X.append(self.rec.points3D[pid].xyz)
+                tri_feat.append(fidx)
+                tri_pid.append(pid)
+        if len(tri_uv) < opts.abs_pose_min_num_inliers:
+            return False
+
+        uv = np.asarray(tri_uv, np.float32)
+        X = np.asarray(tri_X, np.float32)
+        nuv = np.asarray(cm.image_to_world(cam.model_id, jnp.asarray(cam.padded_params()), jnp.asarray(uv)))
+        npad = _bucket(len(tri_uv), 1024)
+        uvp = np.zeros((npad, 2), np.float32)
+        Xp = np.zeros((npad, 3), np.float32)
+        vp = np.zeros(npad, np.float32)
+        uvp[: len(tri_uv)] = nuv
+        Xp[: len(tri_uv)] = X
+        vp[: len(tri_uv)] = 1.0
+        thr = opts.abs_pose_max_error / cam.mean_focal_length()
+        res = ransac_ops.ransac_pnp(
+            jnp.asarray(uvp), jnp.asarray(Xp), jnp.asarray(vp),
+            jax.random.PRNGKey(image_id),
+            ransac_ops.RansacOptions(max_error=thr, num_hypotheses=opts.num_ransac_hypotheses),
+        )
+        n_in = int(res.num_inliers)
+        if n_in < opts.abs_pose_min_num_inliers:
+            return False
+        if n_in < opts.abs_pose_min_inlier_ratio * len(tri_uv):
+            return False
+        img.qvec = np.asarray(res.q, np.float64)
+        img.tvec = np.asarray(res.t, np.float64)
+        # pose prior injection (:737-750): prior overrides PnP when available
+        if image_id in self.pose_priors:
+            img.qvec, img.tvec = (np.asarray(v, np.float64) for v in self.pose_priors[image_id])
+
+        self.rec.register_image(image_id)
+        # continue tracks for inliers
+        mask = np.asarray(res.inlier_mask)[: len(tri_uv)]
+        for k in np.nonzero(mask)[0]:
+            fidx, pid = tri_feat[k], tri_pid[k]
+            if img.point3D_ids[fidx] == INVALID_POINT3D and pid in self.rec.points3D:
+                if (image_id, fidx) not in self.rec.points3D[pid].track:
+                    self.rec.add_observation(pid, image_id, fidx)
+        self._refine_pose(image_id, opts)
+        return True
+
+    def _refine_pose(self, image_id: int, opts: MapperOptions):
+        """RefineAbsolutePose: pose-only BA on this image's observations."""
+        img = self.rec.images[image_id]
+        cam = self._camera_of(image_id)
+        fidx = np.nonzero(img.point3D_ids != INVALID_POINT3D)[0]
+        if fidx.size < 6:
+            return
+        pids = img.point3D_ids[fidx]
+        pts = np.stack([self.rec.points3D[int(p)].xyz for p in pids]).astype(np.float32)
+        uv = img.xys[fidx].astype(np.float32)
+        P = _bucket(fidx.size, 1024)
+        prob = ba_ops.make_problem(
+            np.asarray(img.qvec, np.float32)[None],
+            np.asarray(img.tvec, np.float32)[None],
+            cam.padded_params(),
+            np.concatenate([pts, np.zeros((P - fidx.size, 3), np.float32)]),
+            np.zeros(P, np.int32),
+            np.arange(P, dtype=np.int32),
+            np.concatenate([uv, np.zeros((P - fidx.size, 2), np.float32)]),
+            obs_valid=np.concatenate([np.ones(fidx.size, np.float32), np.zeros(P - fidx.size, np.float32)]),
+            point_fixed=np.ones(P, np.float32),
+            track_len=1,
+        )
+        cfg = ba_ops.BAConfig(
+            model_id=cam.model_id, max_iterations=20,
+            loss_type=ba_ops.LOSS_CAUCHY, loss_scale=opts.abs_pose_max_error / 3.0,
+        )
+        out = ba_ops.solve(prob, cfg)
+        if float(out.final_cost) <= float(out.initial_cost):
+            img.qvec = np.asarray(out.cam_q[0], np.float64)
+            img.tvec = np.asarray(out.cam_t[0], np.float64)
+
+    # -------------------------------------------------------------- local BA
+    def find_local_bundle(self, opts: MapperOptions, image_id: int) -> list[int]:
+        """Most-covisible registered images (FindLocalBundle, :1747 — shared
+        3D point count; the reference's triangulation-angle re-ranking is
+        approximated by covisibility alone)."""
+        img = self.rec.images[image_id]
+        shared: dict[int, int] = {}
+        for fidx in np.nonzero(img.point3D_ids != INVALID_POINT3D)[0]:
+            pid = int(img.point3D_ids[fidx])
+            p = self.rec.points3D.get(pid)
+            if p is None:
+                continue
+            for iid, _ in p.track:
+                if iid != image_id and self.rec.images[iid].registered:
+                    shared[iid] = shared.get(iid, 0) + 1
+        ranked = sorted(shared.items(), key=lambda kv: -kv[1])
+        return [iid for iid, _ in ranked[: opts.local_ba_num_images]]
+
+    def adjust_local_bundle(
+        self, opts: MapperOptions, image_id: int, point3D_ids: set[int]
+    ) -> LocalBAReport:
+        report = LocalBAReport()
+        local_bundle = self.find_local_bundle(opts, image_id)
+        if not local_bundle:
+            return report
+        bundle_images = [image_id] + local_bundle
+
+        pose_fixed_ids: set[int] = set()
+        if (
+            opts.if_add_lidar_constraint
+            and opts.init_image_id1 in bundle_images
+            and self.rec.num_reg_images < opts.first_image_fixed_frames
+        ):
+            pose_fixed_ids.add(opts.init_image_id1)
+        if opts.fix_existing_images:
+            pose_fixed_ids |= {i for i in bundle_images if i in self.existing_image_ids}
+
+        tvec_fixed: dict[int, list[int]] = {}
+        if not opts.if_add_lidar_constraint:
+            # classic 7-DoF gauge fix (:1084-1100)
+            if len(local_bundle) == 1:
+                pose_fixed_ids.add(local_bundle[0])
+                tvec_fixed[image_id] = [0]
+            else:
+                pose_fixed_ids.add(local_bundle[-1])
+                tvec_fixed[local_bundle[-2]] = [0]
+
+        # variable points: modified points with bounded track length (:1106-1135)
+        max_track = 1000 if opts.if_add_lidar_constraint else 15
+        variable_pids, proj_pids, icp_pids = [], [], []
+        for pid in point3D_ids:
+            p = self.rec.points3D.get(pid)
+            if p is None:
+                continue
+            if len(p.track) <= max_track:
+                variable_pids.append(pid)
+                if opts.if_add_lidar_constraint:
+                    if len(p.track) < opts.min_proj_num + 3:
+                        proj_pids.append(pid)
+                    else:
+                        icp_pids.append(pid)
+
+        # lidar associations (:1140-1170)
+        if self.lidar_map is not None and (
+            opts.if_add_lidar_constraint or opts.if_add_lidar_corresponding
+        ):
+            for pid in proj_pids:
+                self._match_variable_point_to_lidar(pid, image_id, opts)
+            ranges = [
+                max(
+                    opts.kdtree_max_search_range
+                    - self.rec.points3D[pid].global_opt_num * opts.search_range_drop_speed,
+                    opts.kdtree_min_search_range,
+                )
+                for pid in icp_pids
+            ]
+            self._match_closest_lidar_points(icp_pids, ranges)
+
+        self._solve_ba(
+            opts,
+            bundle_images,
+            set(variable_pids),
+            pose_fixed_ids,
+            tvec_fixed,
+            max_iterations=opts.ba_local_max_num_iterations,
+            lidar_assocs=self.rec.lidar_points if opts.if_add_lidar_constraint else {},
+        )
+        report.num_adjusted_observations = sum(
+            len(self.rec.points3D[p].track) for p in variable_pids if p in self.rec.points3D
+        )
+
+        tri_opts = TriangulatorOptions(
+            complete_max_reproj_error=opts.filter_max_reproj_error / 2,
+            merge_max_reproj_error=opts.filter_max_reproj_error / 2,
+            min_angle=opts.filter_min_tri_angle,
+        )
+        report.num_merged_observations = self.triangulator.merge_tracks(tri_opts, variable_pids)
+        report.num_completed_observations = self.triangulator.complete_tracks(tri_opts, variable_pids)
+        report.num_completed_observations += self.triangulator.complete_image(tri_opts, image_id)
+
+        report.num_filtered_observations = self.rec.filter_points3D(
+            opts.filter_max_reproj_error, opts.filter_min_tri_angle, list(point3D_ids)
+        )
+        if opts.if_add_lidar_constraint:
+            report.num_filtered_observations += self.rec.filter_lidar_outliers(
+                opts.proj_max_dist_error, opts.icp_max_dist_error
+            )
+        return report
+
+    # ------------------------------------------------------------- global BA
+    def adjust_global_bundle_by_lidar(self, opts: MapperOptions) -> bool:
+        """(AdjustGlobalBundleByLidar, :1297-1493)."""
+        reg = list(self.rec.registered_ids)
+        if len(reg) < 2:
+            return False
+        newest = reg[-1]
+        c_new = self.rec.images[newest].projection_center()
+        variable_imgs, const_imgs = [], []
+        for iid in reg:
+            c = self.rec.images[iid].projection_center()
+            if np.linalg.norm(c - c_new) <= opts.ba_spherical_search_radius:
+                variable_imgs.append(iid)
+            else:
+                const_imgs.append(iid)
+        pose_fixed_ids = set(const_imgs)
+        if (
+            opts.init_image_id1 in variable_imgs
+            and self.rec.num_reg_images < opts.first_image_fixed_frames
+        ):
+            pose_fixed_ids.add(opts.init_image_id1)
+
+        # points observed by variable images -> variable + NN association
+        variable_pids = set()
+        for iid in variable_imgs:
+            img = self.rec.images[iid]
+            for fidx in np.nonzero(img.point3D_ids != INVALID_POINT3D)[0]:
+                pid = int(img.point3D_ids[fidx])
+                if pid in self.rec.points3D:
+                    variable_pids.add(pid)
+                    self.rec.points3D[pid].in_sphere = True
+
+        self.rec.clear_lidar_points_in_global()
+        pids = sorted(variable_pids)
+        if self.lidar_map is not None and opts.if_add_lidar_constraint and pids:
+            ranges = [
+                max(
+                    opts.kdtree_max_search_range
+                    - self.rec.points3D[p].global_opt_num * opts.search_range_drop_speed,
+                    opts.kdtree_min_search_range,
+                )
+                for p in pids
+            ]
+            # global associations go into the dedicated map
+            saved = dict(self.rec.lidar_points)
+            self.rec.lidar_points = {}
+            self._match_closest_lidar_points(pids, ranges)
+            self.rec.lidar_points_in_global = self.rec.lidar_points
+            self.rec.lidar_points = saved
+
+        self._solve_ba(
+            opts,
+            reg,
+            variable_pids,
+            pose_fixed_ids,
+            {},
+            max_iterations=opts.ba_global_max_num_iterations,
+            lidar_assocs=self.rec.lidar_points_in_global if opts.if_add_lidar_constraint else {},
+        )
+        # bump global_opt_num (:1483-1487)
+        for pid in self.rec.lidar_points_in_global:
+            if pid in self.rec.points3D:
+                self.rec.points3D[pid].global_opt_num += 1
+        return True
+
+    def adjust_global_bundle(self, opts: MapperOptions) -> bool:
+        """Classic global BA (:1225-1285): gauge fixed by first pose + one
+        translation component of the second."""
+        reg = list(self.rec.registered_ids)
+        if len(reg) < 2:
+            return False
+        self._solve_ba(
+            opts,
+            reg,
+            set(self.rec.points3D.keys()),
+            {reg[0]},
+            {reg[1]: [0]},
+            max_iterations=opts.ba_global_max_num_iterations,
+            lidar_assocs={},
+        )
+        return True
+
+    # ------------------------------------------------------- BA construction
+    def _solve_ba(
+        self,
+        opts: MapperOptions,
+        bundle_images: list[int],
+        variable_pids: set[int],
+        pose_fixed_ids: set[int],
+        tvec_fixed: dict[int, list[int]],
+        max_iterations: int,
+        lidar_assocs: dict[int, LidarAssoc],
+    ):
+        """Build the padded BAProblem and run the device solve, then write
+        results back into the reconstruction."""
+        rec = self.rec
+        bundle_set = set(bundle_images)
+        # collect observations: bundle images observe their points; variable
+        # points pull in their full tracks with outside poses fixed
+        # (AddImageToProblem/AddPointToProblem semantics)
+        img_ids: list[int] = list(bundle_images)
+        img_slot = {iid: k for k, iid in enumerate(img_ids)}
+        obs = []  # (image_id, pid, uv)
+        pids_in_problem: dict[int, int] = {}
+
+        def pid_slot(pid):
+            if pid not in pids_in_problem:
+                pids_in_problem[pid] = len(pids_in_problem)
+            return pids_in_problem[pid]
+
+        for iid in bundle_images:
+            img = rec.images[iid]
+            for fidx in np.nonzero(img.point3D_ids != INVALID_POINT3D)[0]:
+                pid = int(img.point3D_ids[fidx])
+                if pid in rec.points3D:
+                    obs.append((iid, pid, img.xys[fidx]))
+                    pid_slot(pid)
+        for pid in variable_pids:
+            p = rec.points3D.get(pid)
+            if p is None:
+                continue
+            for iid, fidx in p.track:
+                if iid in bundle_set:
+                    continue
+                img = rec.images[iid]
+                if not img.registered:
+                    continue
+                if iid not in img_slot:
+                    img_slot[iid] = len(img_ids)
+                    img_ids.append(iid)
+                    pose_fixed_ids = pose_fixed_ids | {iid}
+                obs.append((iid, pid, img.xys[fidx]))
+                pid_slot(pid)
+        if not obs or len(pids_in_problem) == 0:
+            return
+
+        C = _bucket(len(img_ids), 16)
+        P = _bucket(len(pids_in_problem), 1024)
+        N = _bucket(len(obs), 4096)
+        # track length bucket
+        per_pid_count: dict[int, int] = {}
+        for _, pid, _ in obs:
+            per_pid_count[pid] = per_pid_count.get(pid, 0) + 1
+        T = _bucket(max(per_pid_count.values()), 16)
+
+        cam0 = self._camera_of(bundle_images[0])
+        cam_q = np.zeros((C, 4), np.float32)
+        cam_q[:, 0] = 1.0
+        cam_t = np.zeros((C, 3), np.float32)
+        pose_fixed = np.ones(C, np.float32)  # padding slots frozen
+        tvf = np.zeros((C, 3), np.float32)
+        for iid, k in img_slot.items():
+            img = rec.images[iid]
+            cam_q[k] = img.qvec
+            cam_t[k] = img.tvec
+            pose_fixed[k] = 1.0 if iid in pose_fixed_ids else 0.0
+            for comp in tvec_fixed.get(iid, []):
+                tvf[k, comp] = 1.0
+
+        points = np.zeros((P, 3), np.float32)
+        point_fixed = np.ones(P, np.float32)
+        lidar_plane = np.zeros((P, 4), np.float32)
+        lidar_w = np.zeros(P, np.float32)
+        slot_pid = {}
+        for pid, s in pids_in_problem.items():
+            points[s] = rec.points3D[pid].xyz
+            point_fixed[s] = 0.0 if pid in variable_pids else 1.0
+            slot_pid[s] = pid
+            a = lidar_assocs.get(pid)
+            if a is not None and pid in variable_pids:
+                lidar_plane[s] = a.plane
+                lidar_w[s] = {
+                    LIDAR_PROJ: opts.proj_lidar_constraint_weight,
+                    LIDAR_ICP: opts.icp_lidar_constraint_weight,
+                    LIDAR_ICP_GROUND: opts.icp_ground_lidar_constraint_weight,
+                }[a.type]
+
+        obs_cam = np.zeros(N, np.int32)
+        obs_pt = np.zeros(N, np.int32)
+        obs_uv = np.zeros((N, 2), np.float32)
+        obs_valid = np.zeros(N, np.float32)
+        for k, (iid, pid, uv) in enumerate(obs):
+            obs_cam[k] = img_slot[iid]
+            obs_pt[k] = pids_in_problem[pid]
+            obs_uv[k] = uv
+            obs_valid[k] = 1.0
+
+        prob = ba_ops.make_problem(
+            cam_q, cam_t, cam0.padded_params(), points,
+            obs_cam, obs_pt, obs_uv,
+            obs_valid=obs_valid, track_len=T,
+            lidar_plane=lidar_plane, lidar_w=lidar_w,
+            pose_fixed=pose_fixed, tvec_fixed=tvf, point_fixed=point_fixed,
+        )
+        cfg = ba_ops.BAConfig(
+            model_id=cam0.model_id,
+            loss_type=opts.loss_type,
+            loss_scale=opts.loss_scale,
+            max_iterations=max_iterations,
+        )
+        out = ba_ops.solve(prob, cfg)
+        if not np.isfinite(float(out.final_cost)) or float(out.final_cost) > float(out.initial_cost):
+            return
+        q_out = np.asarray(out.cam_q, np.float64)
+        t_out = np.asarray(out.cam_t, np.float64)
+        for iid, k in img_slot.items():
+            if iid not in pose_fixed_ids:
+                rec.images[iid].qvec = q_out[k]
+                rec.images[iid].tvec = t_out[k]
+        p_out = np.asarray(out.points, np.float64)
+        for s, pid in slot_pid.items():
+            if point_fixed[s] == 0.0 and pid in rec.points3D:
+                rec.points3D[pid].xyz = p_out[s]
+
+    # -------------------------------------------------------------- filtering
+    def filter_points(self, opts: MapperOptions) -> int:
+        return self.rec.filter_points3D(opts.filter_max_reproj_error, opts.filter_min_tri_angle)
+
+    def filter_images(self, opts: MapperOptions) -> int:
+        """Deregister images with bogus cameras or too few 3D points
+        (FilterImages, reconstruction.cc)."""
+        n = 0
+        for iid in list(self.rec.registered_ids):
+            img = self.rec.images[iid]
+            cam = self.rec.cameras[img.camera_id]
+            if cam.has_bogus_params(
+                opts.min_focal_length_ratio, opts.max_focal_length_ratio, opts.max_extra_param
+            ) or img.num_points3D() == 0:
+                self.rec.deregister_image(iid)
+                self.filtered_images.add(iid)
+                n += 1
+        return n

@@ -1,0 +1,254 @@
+"""Incremental triangulation: new tracks, track completion, merging,
+retriangulation.
+
+Parity with src/sfm/incremental_triangulator.{h,cc} (1,136 LoC): per newly
+registered image, walk its features' correspondences in the graph; continue
+existing tracks or create new points by (multi-)view DLT, gated by
+triangulation angle and reprojection error. CompleteTracks retries failed
+observations after BA moved things; MergeTracks joins tracks connected by
+correspondences when the merged point explains both; Retriangulate revisits
+under-reconstructed image pairs.
+
+Triangulation solves are batched on device (ops/solvers.triangulate_multiview
+vmapped over candidate tracks); the graph walking is host-side bookkeeping.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import camera_models as cm
+from ..ops import se3, solvers
+from .reconstruction import INVALID_POINT3D, Reconstruction
+
+
+@dataclass
+class TriangulatorOptions:
+    """Mirrors IncrementalTriangulator::Options (incremental_triangulator.h:46-74)."""
+
+    max_transitivity: int = 1
+    create_max_angle_error: float = 2.0  # deg
+    continue_max_angle_error: float = 2.0  # deg
+    merge_max_reproj_error: float = 4.0  # px
+    complete_max_reproj_error: float = 4.0  # px
+    min_angle: float = 1.5  # deg, min triangulation angle for new points
+    ignore_two_view_tracks: bool = False
+    min_focal_length_ratio: float = 0.1
+    max_focal_length_ratio: float = 10.0
+    max_extra_param: float = 1.0
+
+
+class IncrementalTriangulator:
+    def __init__(self, rec: Reconstruction, graph):
+        self.rec = rec
+        self.graph = graph
+
+    # ------------------------------------------------------------------
+    def _normalized(self, image_id: int, feat_idx: int) -> np.ndarray:
+        img = self.rec.images[image_id]
+        cam = self.rec.cameras[img.camera_id]
+        uv = cm.image_to_world(
+            cam.model_id,
+            jnp.asarray(cam.padded_params()),
+            jnp.asarray(img.xys[feat_idx], jnp.float32),
+        )
+        return np.asarray(uv)
+
+    def _reproj_error(self, image_id: int, feat_idx: int, xyz: np.ndarray) -> float:
+        img = self.rec.images[image_id]
+        cam = self.rec.cameras[img.camera_id]
+        xy, z = cm.project(
+            cam.model_id,
+            jnp.asarray(cam.padded_params()),
+            jnp.asarray(img.qvec, jnp.float32),
+            jnp.asarray(img.tvec, jnp.float32),
+            jnp.asarray(xyz, jnp.float32),
+        )
+        if float(z) <= 0:
+            return np.inf
+        return float(np.linalg.norm(np.asarray(xy) - img.xys[feat_idx]))
+
+    # ------------------------------------------------------------------
+    def triangulate_image(self, options: TriangulatorOptions, image_id: int) -> int:
+        """Create/continue tracks for all features of a registered image.
+        Returns number of added observations (TriangulateImage,
+        incremental_triangulator.cc)."""
+        img = self.rec.images[image_id]
+        if not img.registered:
+            return 0
+        num_tris = 0
+        for feat_idx in range(img.xys.shape[0]):
+            if img.point3D_ids[feat_idx] != INVALID_POINT3D:
+                continue
+            corrs = self.graph.find_transitive_correspondences(
+                image_id, feat_idx, options.max_transitivity
+            )
+            # partition correspondences
+            existing_pids = []
+            candidates = []  # (image_id, feat_idx) registered, untriangulated
+            for cid, cfeat in corrs:
+                cimg = self.rec.images.get(cid)
+                if cimg is None or not cimg.registered:
+                    continue
+                pid = int(cimg.point3D_ids[cfeat])
+                if pid != INVALID_POINT3D:
+                    existing_pids.append(pid)
+                else:
+                    candidates.append((cid, cfeat))
+            if existing_pids:
+                # continue the most common existing track if reprojection fits
+                pid = max(set(existing_pids), key=existing_pids.count)
+                if pid in self.rec.points3D:
+                    err = self._reproj_error(image_id, feat_idx, self.rec.points3D[pid].xyz)
+                    if err < options.complete_max_reproj_error:
+                        self.rec.add_observation(pid, image_id, feat_idx)
+                        num_tris += 1
+                continue
+            if not candidates:
+                continue
+            if options.ignore_two_view_tracks and len(candidates) < 2:
+                continue
+            # triangulate a new point from this feature + candidates
+            views = [(image_id, feat_idx)] + candidates
+            num_tris += self._try_create_point(options, views)
+        return num_tris
+
+    def _try_create_point(self, options: TriangulatorOptions, views) -> int:
+        qs, ts, uvs, centers = [], [], [], []
+        for iid, fidx in views:
+            im = self.rec.images[iid]
+            qs.append(np.asarray(im.qvec, np.float32))
+            ts.append(np.asarray(im.tvec, np.float32))
+            uvs.append(self._normalized(iid, fidx))
+            centers.append(im.projection_center())
+        T = len(views)
+        X = np.asarray(
+            solvers.triangulate_multiview(
+                jnp.asarray(np.stack(qs)),
+                jnp.asarray(np.stack(ts)),
+                jnp.asarray(np.stack(uvs, dtype=np.float32)),
+                jnp.ones(T, jnp.float32),
+            )
+        )
+        if not np.isfinite(X).all():
+            return 0
+        # triangulation angle gate: max pairwise angle must exceed min_angle
+        max_ang = 0.0
+        for a in range(T):
+            for b in range(a + 1, T):
+                ang = float(
+                    solvers.triangulation_angle(
+                        jnp.asarray(centers[a], jnp.float32),
+                        jnp.asarray(centers[b], jnp.float32),
+                        jnp.asarray(X, jnp.float32),
+                    )
+                )
+                max_ang = max(max_ang, ang)
+        if max_ang < np.deg2rad(options.min_angle):
+            return 0
+        # reprojection gate per view; keep passing views only
+        good = []
+        for iid, fidx in views:
+            if self._reproj_error(iid, fidx, X) < options.complete_max_reproj_error:
+                good.append((iid, fidx))
+        if len(good) < 2 or good[0] != views[0]:
+            return 0
+        self.rec.add_point3D(X, good)
+        return len(good)
+
+    # ------------------------------------------------------------------
+    def complete_tracks(self, options: TriangulatorOptions, point3D_ids) -> int:
+        """Extend tracks with correspondences that now reproject well
+        (CompleteTracks, incremental_triangulator.h:114)."""
+        n = 0
+        for pid in list(point3D_ids):
+            p = self.rec.points3D.get(pid)
+            if p is None:
+                continue
+            frontier = list(p.track)
+            seen = set(p.track)
+            while frontier:
+                iid, fidx = frontier.pop()
+                for cid, cfeat in self.graph.find_correspondences(iid, fidx):
+                    if (cid, cfeat) in seen:
+                        continue
+                    seen.add((cid, cfeat))
+                    cimg = self.rec.images.get(cid)
+                    if cimg is None or not cimg.registered:
+                        continue
+                    if cimg.point3D_ids[cfeat] != INVALID_POINT3D:
+                        continue
+                    if self._reproj_error(cid, cfeat, p.xyz) < options.complete_max_reproj_error:
+                        self.rec.add_observation(pid, cid, cfeat)
+                        frontier.append((cid, cfeat))
+                        n += 1
+        return n
+
+    def complete_image(self, options: TriangulatorOptions, image_id: int) -> int:
+        """Try to continue existing tracks into this image's free features."""
+        img = self.rec.images[image_id]
+        if not img.registered:
+            return 0
+        n = 0
+        for feat_idx in range(img.xys.shape[0]):
+            if img.point3D_ids[feat_idx] != INVALID_POINT3D:
+                continue
+            for cid, cfeat in self.graph.find_correspondences(image_id, feat_idx):
+                cimg = self.rec.images.get(cid)
+                if cimg is None or not cimg.registered:
+                    continue
+                pid = int(cimg.point3D_ids[cfeat])
+                if pid == INVALID_POINT3D or pid not in self.rec.points3D:
+                    continue
+                if self._reproj_error(image_id, feat_idx, self.rec.points3D[pid].xyz) < options.complete_max_reproj_error:
+                    self.rec.add_observation(pid, image_id, feat_idx)
+                    n += 1
+                    break
+        return n
+
+    def merge_tracks(self, options: TriangulatorOptions, point3D_ids) -> int:
+        """Merge connected tracks when the merged point explains both
+        (MergeTracks, incremental_triangulator.h:123)."""
+        n = 0
+        for pid in list(point3D_ids):
+            p = self.rec.points3D.get(pid)
+            if p is None:
+                continue
+            merge_target = None
+            for iid, fidx in p.track:
+                for cid, cfeat in self.graph.find_correspondences(iid, fidx):
+                    cimg = self.rec.images.get(cid)
+                    if cimg is None or not cimg.registered:
+                        continue
+                    opid = int(cimg.point3D_ids[cfeat])
+                    if opid != INVALID_POINT3D and opid != pid and opid in self.rec.points3D:
+                        merge_target = opid
+                        break
+                if merge_target:
+                    break
+            if merge_target is None:
+                continue
+            q = self.rec.points3D[merge_target]
+            n1, n2 = len(p.track), len(q.track)
+            merged_xyz = (p.xyz * n1 + q.xyz * n2) / (n1 + n2)
+            ok = all(
+                self._reproj_error(iid, fidx, merged_xyz) < options.merge_max_reproj_error
+                for iid, fidx in p.track + q.track
+            )
+            if ok:
+                self.rec.merge_points3D(pid, merge_target)
+                n += n1 + n2
+        return n
+
+    def retriangulate(self, options: TriangulatorOptions) -> int:
+        """Re-run triangulation over under-reconstructed registered images
+        (Retriangulate, incremental_triangulator.h:136 — simplified: one pass
+        of triangulate_image over all registered images)."""
+        n = 0
+        relaxed = TriangulatorOptions(**{**options.__dict__, "min_angle": options.min_angle / 2})
+        for iid in list(self.rec.registered_ids):
+            n += self.triangulate_image(relaxed, iid)
+        return n

@@ -174,6 +174,7 @@ def total_cost(
     points: Array,
     problem: BAProblem,
     cfg: BAConfig,
+    psum_axis: str | None = None,
 ) -> Array:
     q = cam_q[problem.obs_cam]
     t = cam_t[problem.obs_cam]
@@ -190,6 +191,10 @@ def total_cost(
         cost = cost + jnp.sum(_rho(rl * rl, cfg))
     else:
         cost = cost + jnp.sum(rl * rl)
+    if psum_axis is not None:
+        # multi-chip: every shard sees the global cost so the LM accept/reject
+        # decisions stay lockstep-identical across devices
+        cost = jax.lax.psum(cost, psum_axis)
     return cost
 
 
@@ -280,7 +285,7 @@ def _inv3(A: Array) -> Array:
     return adj / det[..., None, None]
 
 
-def _gn_system(problem: BAProblem, cfg: BAConfig, cam_q, cam_t, intr, points, lam):
+def _gn_system(problem: BAProblem, cfg: BAConfig, cam_q, cam_t, intr, points, lam, psum_axis: str | None = None):
     """Build and solve one damped GN step. Returns (dx_cam_blocks, dx_points).
 
     Camera-side block layout: blocks 0..C-1 are pose tangents (6 each); if
@@ -434,6 +439,13 @@ def _gn_system(problem: BAProblem, cfg: BAConfig, cam_q, cam_t, intr, points, la
         chunk_body, (S, b), jnp.arange(nchunks) * csize
     )
 
+    # ---- multi-chip reduction ---------------------------------------------
+    # each shard owns a disjoint set of points (and their observations); the
+    # reduced camera system is the sum of per-shard contributions over ICI.
+    if psum_axis is not None:
+        S = jax.lax.psum(S, psum_axis)
+        b = jax.lax.psum(b, psum_axis)
+
     # ---- damping + gauge/padding regularization ---------------------------
     diagS = jnp.diagonal(S)
     S = S + jnp.diag(lam * diagS + 1e-8)
@@ -486,16 +498,25 @@ def _apply_step(cfg, problem, cam_q, cam_t, intr, points, dx_cam, dx_p):
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def solve(problem: BAProblem, cfg: BAConfig) -> BAResult:
-    """Run LM to convergence (fixed max iterations) on the given problem."""
+    return solve_inner(problem, cfg, None)
+
+
+def solve_inner(problem: BAProblem, cfg: BAConfig, psum_axis: str | None = None) -> BAResult:
+    """Run LM to convergence (fixed max iterations) on the given problem.
+
+    With psum_axis set, runs as the per-shard body of a shard_map: camera
+    parameters are replicated, points/observations are sharded by point, and
+    the reduced camera system is psum-reduced across the mesh axis
+    (the distributed Schur BA of parallel/dist_ba.py)."""
 
     def cost_fn(q, t, k, X):
-        return total_cost(q, t, k, X, problem, cfg)
+        return total_cost(q, t, k, X, problem, cfg, psum_axis)
 
     init_cost = cost_fn(problem.cam_q, problem.cam_t, problem.intr, problem.points)
 
     def body(state):
         q, t, k, X, lam, cost, it, stall = state
-        dx_cam, dx_p = _gn_system(problem, cfg, q, t, k, X, lam)
+        dx_cam, dx_p = _gn_system(problem, cfg, q, t, k, X, lam, psum_axis)
         q2, t2, k2, X2 = _apply_step(cfg, problem, q, t, k, X, dx_cam, dx_p)
         new_cost = cost_fn(q2, t2, k2, X2)
         accept = new_cost < cost
