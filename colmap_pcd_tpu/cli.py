@@ -1,0 +1,524 @@
+"""Command-line interface: `python -m colmap_pcd_tpu <command> [--flags]`.
+
+Parity with src/exe/colmap.cc:93-150 — the subcommand registry. Flags use the
+reference's namespaced names (--Mapper.init_image_x, --SiftExtraction.*, ...,
+utils/config.py). Commands not meaningful for a headless TPU build (gui,
+CUDA-specific toggles) print an explanation instead of failing cryptically.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+from .utils.config import OptionManager
+
+
+def _opt(argv):
+    om = OptionManager()
+    rest = om.parse_args(argv)
+    if om.database_path == "" and "--project_path" in argv:
+        pass
+    return om, rest
+
+
+def cmd_feature_extractor(argv):
+    om, _ = _opt(argv)
+    from .models.feature_pipeline import run_feature_extractor
+
+    n = run_feature_extractor(om.database_path, om.image_path, om.sift_extraction)
+    print(f"Extracted features for {n} images")
+    return 0
+
+
+def cmd_exhaustive_matcher(argv):
+    om, _ = _opt(argv)
+    from .models.feature_pipeline import run_exhaustive_matcher
+
+    n = run_exhaustive_matcher(om.database_path, om.sift_matching)
+    print(f"Verified {n} image pairs")
+    return 0
+
+
+def cmd_sequential_matcher(argv):
+    om, rest = _opt([a for a in argv if not a.startswith("--Sequential")])
+    overlap = 10
+    loop = False
+    it = iter(argv)
+    for a in it:
+        if a == "--SequentialMatching.overlap":
+            overlap = int(next(it))
+        if a == "--SequentialMatching.loop_detection":
+            loop = next(it).lower() in ("1", "true")
+    from .models.feature_pipeline import run_sequential_matcher
+
+    n = run_sequential_matcher(om.database_path, om.sift_matching, overlap=overlap, loop_detection=loop)
+    print(f"Verified {n} image pairs")
+    return 0
+
+
+def cmd_transitive_matcher(argv):
+    om, _ = _opt(argv)
+    from .models.feature_pipeline import run_transitive_matcher
+
+    n = run_transitive_matcher(om.database_path, om.sift_matching)
+    print(f"Verified {n} transitive pairs")
+    return 0
+
+
+def cmd_vocab_tree_matcher(argv):
+    om, _ = _opt(argv)
+    from .models.feature_pipeline import run_vocab_tree_matcher
+
+    n = run_vocab_tree_matcher(om.database_path, om.sift_matching)
+    print(f"Verified {n} retrieved pairs")
+    return 0
+
+
+def cmd_matches_importer(argv):
+    match_list = None
+    it = iter(argv)
+    filtered = []
+    for a in it:
+        if a == "--match_list_path":
+            match_list = next(it)
+        else:
+            filtered.append(a)
+    om, _ = _opt(filtered)
+    pairs = []
+    with open(match_list) as f:
+        for line in f:
+            tok = line.split()
+            if len(tok) >= 2:
+                pairs.append((tok[0], tok[1]))
+    from .models.feature_pipeline import run_image_pairs_matcher
+
+    n = run_image_pairs_matcher(om.database_path, pairs, om.sift_matching)
+    print(f"Verified {n} imported pairs")
+    return 0
+
+
+def _load_mapper_inputs(om, input_path=None):
+    """Database -> Reconstruction skeleton + CorrespondenceGraph (+ lidar map,
+    pose priors): the DatabaseCache load step."""
+    from .models.correspondence_graph import CorrespondenceGraph
+    from .models.database import Database
+    from .models.lidar_map import LidarMap
+    from .models.reconstruction import Camera, Image, Reconstruction, load_image_poses
+    from .ops.pointcloud import ProjOptions
+
+    db = Database(om.database_path)
+    rec = Reconstruction() if input_path in (None, "") else Reconstruction.read(input_path)
+    for cid, c in db.cameras().items():
+        rec.add_camera(Camera(cid, c["model_id"], c["width"], c["height"], c["params"]))
+    for iid, im in sorted(db.images().items()):
+        kp = db.read_keypoints(iid)
+        if iid in rec.images:
+            continue
+        rec.add_image(Image(iid, im["name"], im["camera_id"], xys=kp[:, :2].astype(np.float64)))
+    graph = CorrespondenceGraph()
+    min_matches = om.mapper.min_num_matches
+    for i, j in db.all_two_view_pair_ids():
+        g = db.read_two_view_geometry(i, j)
+        if g is not None and len(g["inlier_matches"]) >= min_matches:
+            graph.add_matches(i, j, g["inlier_matches"].astype(np.int32))
+    db.close()
+
+    lmap = None
+    if om.mapper.if_add_lidar_constraint and om.mapper.lidar_pointcloud_path:
+        lmap = LidarMap.load(
+            om.mapper.lidar_pointcloud_path,
+            ProjOptions(
+                depth_image_scale=om.mapper.depth_image_scale,
+                max_proj_scale=om.mapper.max_proj_scale,
+                min_proj_scale=om.mapper.min_proj_scale,
+                min_proj_dist=om.mapper.min_proj_dist,
+                choose_meter=om.mapper.choose_meter,
+                min_lidar_proj_dist=om.mapper.min_lidar_proj_dist,
+                submap_cell=om.mapper.submap_length,
+            ),
+        )
+    priors = {}
+    if om.mapper.if_import_pose_prior and om.mapper.image_pose_prior_path:
+        priors = load_image_poses(om.mapper.image_pose_prior_path)
+    return rec, graph, lmap, priors
+
+
+def _mapper_options(om):
+    from .models.incremental_mapper import MapperOptions
+
+    m = om.mapper
+    return MapperOptions(
+        if_add_lidar_constraint=m.if_add_lidar_constraint and bool(m.lidar_pointcloud_path),
+        if_add_lidar_corresponding=m.if_add_lidar_corresponding,
+        first_image_fixed_frames=m.first_image_fixed_frames,
+        min_proj_num=m.min_proj_num,
+        kdtree_max_search_range=m.kdtree_max_search_range,
+        kdtree_min_search_range=m.kdtree_min_search_range,
+        search_range_drop_speed=m.search_range_drop_speed,
+        ba_spherical_search_radius=m.ba_spherical_search_radius,
+        ba_match_features_threshold=m.ba_match_features_threshold,
+        proj_lidar_constraint_weight=m.proj_lidar_constraint_weight,
+        icp_lidar_constraint_weight=m.icp_lidar_constraint_weight,
+        icp_ground_lidar_constraint_weight=m.icp_ground_lidar_constraint_weight,
+        proj_max_dist_error=m.proj_max_dist_error,
+        icp_max_dist_error=m.icp_max_dist_error,
+        init_image_id1=m.init_image_id1,
+        init_image_id2=m.init_image_id2,
+        init_image_x=m.init_image_x,
+        init_image_y=m.init_image_y,
+        init_image_z=m.init_image_z,
+        init_image_roll=m.init_image_roll,
+        init_image_pitch=m.init_image_pitch,
+        init_image_yaw=m.init_image_yaw,
+        init_min_num_inliers=m.init_min_num_inliers,
+        init_max_error=m.init_max_error,
+        init_min_tri_angle=m.init_min_tri_angle,
+        abs_pose_max_error=m.abs_pose_max_error,
+        abs_pose_min_num_inliers=m.abs_pose_min_num_inliers,
+        abs_pose_min_inlier_ratio=m.abs_pose_min_inlier_ratio,
+        max_reg_trials=m.max_reg_trials,
+        local_ba_num_images=m.local_ba_num_images,
+        filter_max_reproj_error=m.filter_max_reproj_error,
+        filter_min_tri_angle=m.filter_min_tri_angle,
+    )
+
+
+def cmd_mapper(argv):
+    input_path, output_path = None, None
+    filtered = []
+    it = iter(argv)
+    for a in it:
+        if a == "--input_path":
+            input_path = next(it)
+        elif a == "--output_path":
+            output_path = next(it)
+        else:
+            filtered.append(a)
+    om, _ = _opt(filtered)
+    from .models.controllers import ControllerOptions, IncrementalMapperController
+
+    rec, graph, lmap, priors = _load_mapper_inputs(om, input_path)
+    copts = ControllerOptions(
+        min_num_matches=om.mapper.min_num_matches,
+        snapshot_path=om.mapper.snapshot_path,
+        snapshot_images_freq=om.mapper.snapshot_images_freq,
+        image_pose_save_folder=om.mapper.image_pose_save_folder,
+    )
+    ctl = IncrementalMapperController(
+        rec, graph, _mapper_options(om), copts, lidar_map=lmap, pose_priors=priors
+    )
+    ok = ctl.reconstruct()
+    if output_path:
+        out = os.path.join(output_path, "0")
+        rec.write(out)
+        print(f"Wrote model to {out}")
+    return 0 if ok else 1
+
+
+def cmd_point_triangulator(argv):
+    """Triangulate points against fixed known poses (RunPointTriangulator)."""
+    input_path, output_path = None, None
+    filtered = []
+    it = iter(argv)
+    for a in it:
+        if a == "--input_path":
+            input_path = next(it)
+        elif a == "--output_path":
+            output_path = next(it)
+        else:
+            filtered.append(a)
+    om, _ = _opt(filtered)
+    from .models.triangulator import IncrementalTriangulator, TriangulatorOptions
+
+    rec, graph, lmap, priors = _load_mapper_inputs(om, input_path)
+    tri = IncrementalTriangulator(rec, graph)
+    topts = TriangulatorOptions()
+    n = 0
+    for iid in rec.registered_ids:
+        n += tri.triangulate_image(topts, iid)
+    tri.complete_tracks(topts, list(rec.points3D.keys()))
+    tri.merge_tracks(topts, list(rec.points3D.keys()))
+    if output_path:
+        rec.write(output_path)
+    print(f"Triangulated {n} observations, {len(rec.points3D)} points")
+    return 0
+
+
+def cmd_bundle_adjuster(argv):
+    input_path, output_path = None, None
+    filtered = []
+    it = iter(argv)
+    for a in it:
+        if a == "--input_path":
+            input_path = next(it)
+        elif a == "--output_path":
+            output_path = next(it)
+        else:
+            filtered.append(a)
+    om, _ = _opt(filtered)
+    from .models.controllers import BundleAdjustmentController
+    from .models.lidar_map import LidarMap
+    from .models.reconstruction import Reconstruction
+
+    rec = Reconstruction.read(input_path)
+    lmap = None
+    if om.bundle_adjustment.if_add_lidar_constraint and om.mapper.lidar_pointcloud_path:
+        lmap = LidarMap.load(om.mapper.lidar_pointcloud_path)
+    mo = _mapper_options(om)
+    mo.proj_lidar_constraint_weight = om.bundle_adjustment.proj_lidar_constraint_weight
+    mo.icp_lidar_constraint_weight = om.bundle_adjustment.icp_lidar_constraint_weight
+    mo.icp_ground_lidar_constraint_weight = om.bundle_adjustment.icp_ground_lidar_constraint_weight
+    ctl = BundleAdjustmentController(
+        rec, mo, lidar_map=lmap, refine_intrinsics=om.bundle_adjustment.refine_focal_length
+    )
+    ok = ctl.run()
+    if output_path:
+        rec.write(output_path)
+    print(f"Bundle adjustment {'succeeded' if ok else 'failed'}; "
+          f"mean reprojection error {rec.mean_reprojection_error():.3f}px")
+    return 0 if ok else 1
+
+
+def cmd_model_converter(argv):
+    input_path = output_path = None
+    output_type = "BIN"
+    it = iter(argv)
+    for a in it:
+        if a == "--input_path":
+            input_path = next(it)
+        elif a == "--output_path":
+            output_path = next(it)
+        elif a == "--output_type":
+            output_type = next(it).upper()
+    from .io import ply as ply_io
+    from .models.reconstruction import Reconstruction
+
+    rec = Reconstruction.read(input_path)
+    if output_type in ("BIN", "TXT"):
+        rec.write(output_path, binary=output_type == "BIN")
+    elif output_type == "PLY":
+        pts = np.stack([p.xyz for p in rec.points3D.values()]) if rec.points3D else np.zeros((0, 3))
+        cols = np.stack([p.color for p in rec.points3D.values()]) if rec.points3D else np.zeros((0, 3), np.uint8)
+        ply_io.write_ply(output_path, pts, colors=cols)
+    else:
+        print(f"unsupported output_type {output_type}")
+        return 1
+    print(f"Converted model to {output_type}")
+    return 0
+
+
+def cmd_model_analyzer(argv):
+    input_path = None
+    it = iter(argv)
+    for a in it:
+        if a == "--path" or a == "--input_path":
+            input_path = next(it)
+    from .models.reconstruction import Reconstruction
+
+    rec = Reconstruction.read(input_path)
+    rec.update_point_errors()
+    obs = sum(len(p.track) for p in rec.points3D.values())
+    stats = {
+        "cameras": len(rec.cameras),
+        "images": len(rec.images),
+        "registered_images": rec.num_reg_images,
+        "points3D": len(rec.points3D),
+        "observations": obs,
+        "mean_track_length": round(rec.mean_track_length(), 4),
+        "mean_observations_per_image": round(obs / max(rec.num_reg_images, 1), 2),
+        "mean_reprojection_error_px": round(rec.mean_reprojection_error(), 4),
+    }
+    for k, v in stats.items():
+        print(f"{k}: {v}")
+    return 0
+
+
+def cmd_model_transformer(argv):
+    """Apply a similarity transform from a 3x4 text file (RunModelTransformer)."""
+    input_path = output_path = transform_path = None
+    it = iter(argv)
+    for a in it:
+        if a == "--input_path":
+            input_path = next(it)
+        elif a == "--output_path":
+            output_path = next(it)
+        elif a == "--transform_path":
+            transform_path = next(it)
+    import jax.numpy as jnp
+
+    from .models.reconstruction import Reconstruction
+    from .ops import se3
+
+    rec = Reconstruction.read(input_path)
+    M = np.loadtxt(transform_path).reshape(3, 4)
+    R = M[:, :3]
+    s = float(np.cbrt(np.linalg.det(R)))
+    Rn = R / s
+    q = np.asarray(se3.rotmat_to_quat(jnp.asarray(Rn, jnp.float32)))
+    rec.transform(q, M[:, 3], scale=s)
+    rec.write(output_path)
+    print("Transformed model")
+    return 0
+
+
+def cmd_model_aligner(argv):
+    """Align a model to reference positions via Umeyama + RANSAC
+    (RunModelAligner with --ref_images_path of 'name x y z' rows)."""
+    input_path = output_path = ref_path = None
+    it = iter(argv)
+    for a in it:
+        if a == "--input_path":
+            input_path = next(it)
+        elif a == "--output_path":
+            output_path = next(it)
+        elif a == "--ref_images_path":
+            ref_path = next(it)
+    import jax.numpy as jnp
+
+    from .models.reconstruction import Reconstruction
+    from .ops import solvers
+
+    rec = Reconstruction.read(input_path)
+    refs = {}
+    with open(ref_path) as f:
+        for line in f:
+            tok = line.split()
+            if len(tok) >= 4:
+                refs[tok[0]] = np.asarray([float(x) for x in tok[1:4]])
+    src, dst = [], []
+    for img in rec.images.values():
+        if img.registered and img.name in refs:
+            src.append(img.projection_center())
+            dst.append(refs[img.name])
+    if len(src) < 3:
+        print("Not enough reference images")
+        return 1
+    q, t, s = solvers.umeyama(
+        jnp.asarray(np.stack(src), jnp.float32), jnp.asarray(np.stack(dst), jnp.float32), with_scale=True
+    )
+    rec.transform(np.asarray(q), np.asarray(t), float(s))
+    rec.write(output_path)
+    print(f"Aligned model (scale {float(s):.4f}, {len(src)} refs)")
+    return 0
+
+
+def cmd_image_undistorter(argv):
+    image_path = input_path = output_path = None
+    it = iter(argv)
+    for a in it:
+        if a == "--image_path":
+            image_path = next(it)
+        elif a == "--input_path":
+            input_path = next(it)
+        elif a == "--output_path":
+            output_path = next(it)
+    from .models.undistortion import run_image_undistorter
+
+    n = run_image_undistorter(image_path, input_path, output_path)
+    print(f"Undistorted {n} images")
+    return 0
+
+
+def cmd_database_creator(argv):
+    om, _ = _opt(argv)
+    from .models.database import Database
+
+    Database(om.database_path).close()
+    print(f"Created database {om.database_path}")
+    return 0
+
+
+def cmd_automatic_reconstructor(argv):
+    """One-click sparse pipeline (AutomaticReconstructionController parity,
+    sparse stage: extract -> match -> map)."""
+    workspace = image_path = None
+    filtered = []
+    it = iter(argv)
+    for a in it:
+        if a == "--workspace_path":
+            workspace = next(it)
+        elif a == "--image_path":
+            image_path = next(it)
+        else:
+            filtered.append(a)
+    om, _ = _opt(filtered)
+    om.database_path = os.path.join(workspace, "database.db")
+    om.image_path = image_path
+    cmd_feature_extractor(
+        ["--database_path", om.database_path, "--image_path", image_path]
+        + filtered
+    )
+    cmd_exhaustive_matcher(["--database_path", om.database_path] + filtered)
+    os.makedirs(os.path.join(workspace, "sparse"), exist_ok=True)
+    return cmd_mapper(
+        ["--database_path", om.database_path, "--image_path", image_path,
+         "--output_path", os.path.join(workspace, "sparse")] + filtered
+    )
+
+
+def cmd_gui(argv):
+    print(
+        "This is the headless TPU build: there is no Qt GUI. Export models with "
+        "`model_converter --output_type PLY/TXT` and use any COLMAP-compatible "
+        "viewer; poses export via Mapper.image_pose_save_folder (pose.ply)."
+    )
+    return 0
+
+
+COMMANDS = {
+    "feature_extractor": cmd_feature_extractor,
+    "exhaustive_matcher": cmd_exhaustive_matcher,
+    "sequential_matcher": cmd_sequential_matcher,
+    "transitive_matcher": cmd_transitive_matcher,
+    "vocab_tree_matcher": cmd_vocab_tree_matcher,
+    "matches_importer": cmd_matches_importer,
+    "mapper": cmd_mapper,
+    "point_triangulator": cmd_point_triangulator,
+    "bundle_adjuster": cmd_bundle_adjuster,
+    "model_converter": cmd_model_converter,
+    "model_analyzer": cmd_model_analyzer,
+    "model_transformer": cmd_model_transformer,
+    "model_aligner": cmd_model_aligner,
+    "image_undistorter": cmd_image_undistorter,
+    "database_creator": cmd_database_creator,
+    "automatic_reconstructor": cmd_automatic_reconstructor,
+    "gui": cmd_gui,
+}
+
+
+def _init_compile_cache():
+    """Persist compiled executables across CLI invocations — through the axon
+    TPU tunnel each fresh compile costs minutes."""
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("COLMAP_PCD_TPU_CACHE", "/tmp/jax_cache_colmap_pcd"),
+        )
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
+
+def main(argv=None):
+    _init_compile_cache()
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv or argv[0] in ("-h", "--help", "help"):
+        print("usage: python -m colmap_pcd_tpu <command> [--flags]")
+        print("commands:", ", ".join(sorted(COMMANDS)))
+        return 0
+    cmd = argv[0]
+    if cmd not in COMMANDS:
+        print(f"unknown command {cmd}; available:", ", ".join(sorted(COMMANDS)))
+        return 1
+    return COMMANDS[cmd](argv[1:])
+
+
+if __name__ == "__main__":
+    sys.exit(main())

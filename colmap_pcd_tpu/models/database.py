@@ -64,7 +64,9 @@ CREATE TABLE IF NOT EXISTS two_view_geometries (
 
 class Database:
     def __init__(self, path: str):
-        self.conn = sqlite3.connect(path)
+        # check_same_thread=False: the extraction pipeline writes from a single
+        # dedicated writer thread (threading_utils.pipeline_map), never two at once
+        self.conn = sqlite3.connect(path, check_same_thread=False)
         self.conn.executescript(_SCHEMA)
         self.conn.commit()
 

@@ -1,0 +1,389 @@
+"""Feature extraction + matching controllers over the database.
+
+Parity with src/feature/extraction.{h,cc} (SiftFeatureExtractor staged
+pipeline) and src/feature/matching.{h,cc} (the matcher controller family:
+Exhaustive / Sequential / Spatial / Transitive / ImagePairs / VocabTree):
+
+  * extraction: IO-threaded read+resize -> single device SIFT stream ->
+    single SQLite writer (utils/threading_utils.pipeline_map — the same
+    resizer/extractor/writer topology as extraction.h:50-148, with the GPU
+    boundary now the TPU).
+  * matching: each controller enumerates candidate pairs its own way, then a
+    shared worker matches descriptors on the MXU, verifies two-view geometry
+    (LO-RANSAC banks), optionally re-matches guided by F, and writes
+    matches + two_view_geometries (matching.h:401-550 semantics).
+  * retrieval-based matching (VocabTree analog) uses ops/retrieval VLAD
+    global descriptors — one matmul against the index instead of an
+    inverted-file walk.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import camera_models as cm
+from ..ops import matching as matching_ops
+from ..ops import sift as sift_ops
+from ..utils import image as image_utils
+from ..utils.config import SiftExtractionConfig, SiftMatchingConfig
+from ..utils.threading_utils import pipeline_map
+from .database import Database
+from . import two_view as two_view_mod
+
+
+IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff", ".ppm", ".pgm")
+
+
+@dataclass
+class ImageReaderConfig:
+    camera_model: str = "OPENCV"
+    single_camera: bool = True
+    camera_params: str = ""  # comma-separated; empty = default from EXIF-less prior
+    default_focal_factor: float = 1.2
+
+
+def list_images(image_path: str) -> list[str]:
+    names = []
+    for root, _, files in os.walk(image_path):
+        for f in sorted(files):
+            if f.lower().endswith(IMAGE_EXTS):
+                names.append(os.path.relpath(os.path.join(root, f), image_path))
+    return sorted(names)
+
+
+def run_feature_extractor(
+    database_path: str,
+    image_path: str,
+    extraction: SiftExtractionConfig = SiftExtractionConfig(),
+    reader: ImageReaderConfig = ImageReaderConfig(),
+    num_io_threads: int = 4,
+) -> int:
+    """Extract SIFT for every image under image_path into the database.
+    Returns the number of images processed (RunFeatureExtractor parity,
+    exe/feature.cc:104)."""
+    names = list_images(image_path)
+    if not names:
+        return 0
+    db = Database(database_path)
+
+    opts = sift_ops.SiftOptions(
+        max_num_features=extraction.max_num_features,
+        num_octaves=extraction.num_octaves,
+        octave_resolution=extraction.octave_resolution,
+        first_octave=extraction.first_octave,
+        peak_threshold=extraction.peak_threshold,
+        edge_threshold=extraction.edge_threshold,
+        upright=extraction.upright,
+    )
+
+    camera_ids: dict[tuple, int] = {}
+    model_id = cm.MODEL_IDS[reader.camera_model]
+
+    def produce(name):
+        img = image_utils.imread_gray(os.path.join(image_path, name))
+        H0, W0 = img.shape
+        img, scale = image_utils.resize_max(img, extraction.max_image_size)
+        return img, scale, (W0, H0)
+
+    def device_stage(name, data):
+        img, scale, (W0, H0) = data
+        kp, desc, score, valid = sift_ops.extract(jnp.asarray(img), opts)
+        kp = np.asarray(kp)
+        desc = np.asarray(sift_ops.descriptors_to_uint8(desc))
+        valid = np.asarray(valid)
+        kp = kp[valid]
+        desc = desc[valid]
+        if scale != 1.0:
+            kp[:, :3] /= scale  # positions + scale back to original resolution
+        return kp, desc, (W0, H0)
+
+    def consume(name, result):
+        kp, desc, (W0, H0) = result
+        key = (reader.camera_model, W0, H0) if reader.single_camera else (name,)
+        if key not in camera_ids:
+            if reader.camera_params:
+                params = [float(x) for x in reader.camera_params.split(",")]
+            else:
+                f = reader.default_focal_factor * max(W0, H0)
+                n = cm.NUM_PARAMS[model_id]
+                params = [f, f, W0 / 2, H0 / 2][: max(4, n)]
+                fi, fj, ci, cj = cm._FOCAL_IDX[model_id]
+                params = [0.0] * n
+                params[fi] = f
+                params[fj] = f
+                params[ci] = W0 / 2
+                params[cj] = H0 / 2
+            camera_ids[key] = db.add_camera(model_id, W0, H0, params)
+        cid = camera_ids[key]
+        iid = db.add_image(name, cid)
+        db.write_keypoints(iid, kp[:, :4])
+        db.write_descriptors(iid, desc)
+        db.commit()
+
+    pipeline_map(names, produce, consume, device_stage, num_io_threads=num_io_threads)
+    db.close()
+    return len(names)
+
+
+# ---------------------------------------------------------------------------
+# matching
+
+
+class _MatchWorker:
+    """Shared per-pair matcher + verifier + writer."""
+
+    def __init__(self, db: Database, config: SiftMatchingConfig):
+        self.db = db
+        self.cfg = config
+        self._cache: dict[int, tuple[np.ndarray, jnp.ndarray, jnp.ndarray]] = {}
+        self.cameras = db.cameras()
+        self.images = db.images()
+
+    def _feats(self, image_id: int):
+        if image_id not in self._cache:
+            kp = self.db.read_keypoints(image_id)
+            desc = self.db.read_descriptors(image_id)
+            N = desc.shape[0]
+            cap = 1 << max(6, int(np.ceil(np.log2(max(N, 1)))))
+            kp_p = np.zeros((cap, 6), np.float32)
+            kp_p[:N] = kp
+            d_p = np.zeros((cap, desc.shape[1] if desc.size else 128), np.float32)
+            if N:
+                d_p[:N] = np.asarray(
+                    matching_ops.normalize_descriptors(jnp.asarray(desc))
+                )
+            v = np.zeros(cap, np.float32)
+            v[:N] = 1.0
+            if len(self._cache) > 200:  # LRU-ish cap (FeatureMatcherCache parity)
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[image_id] = (kp_p, jnp.asarray(d_p), jnp.asarray(v))
+        return self._cache[image_id]
+
+    def match_pair(self, id1: int, id2: int) -> int:
+        """Match + verify + write. Returns inlier count."""
+        kp1, d1, v1 = self._feats(id1)
+        kp2, d2, v2 = self._feats(id2)
+        if d1.shape[0] == 0 or d2.shape[0] == 0:
+            return 0
+        mopts = matching_ops.MatchingOptions(
+            max_ratio=self.cfg.max_ratio,
+            max_distance=self.cfg.max_distance,
+            cross_check=self.cfg.cross_check,
+            guided_max_error=self.cfg.max_error,
+        )
+        idx, ok = matching_ops.match_descriptors(d1, d2, v1, v2, mopts)
+        pairs = matching_ops.matches_to_pairs(idx, ok)
+        if len(pairs) < self.cfg.min_num_inliers:
+            self.db.write_matches(id1, id2, np.zeros((0, 2), np.uint32))
+            return 0
+        self.db.write_matches(id1, id2, pairs)
+
+        cam1 = self.cameras[self.images[id1]["camera_id"]]
+        cam2 = self.cameras[self.images[id2]["camera_id"]]
+        uv1 = kp1[pairs[:, 0], :2]
+        uv2 = kp2[pairs[:, 1], :2]
+        g = two_view_mod.estimate_two_view_geometry(
+            uv1, uv2,
+            np.asarray(cm.pad_params(cam1["params"][: cm.NUM_PARAMS[cam1["model_id"]]], cam1["model_id"])),
+            np.asarray(cm.pad_params(cam2["params"][: cm.NUM_PARAMS[cam2["model_id"]]], cam2["model_id"])),
+            cam1["model_id"], cam2["model_id"],
+            two_view_mod.TwoViewOptions(
+                max_error=self.cfg.max_error,
+                min_num_inliers=self.cfg.min_num_inliers,
+            ),
+        )
+        inlier_rows = g.inlier_matches[:, 0] if len(g.inlier_matches) else np.zeros(0, np.int64)
+
+        if self.cfg.guided_matching and g.F is not None and len(inlier_rows) >= self.cfg.min_num_inliers:
+            gi, gok = matching_ops.match_guided(
+                d1, d2,
+                jnp.asarray(kp1[:, :2]), jnp.asarray(kp2[:, :2]),
+                v1, v2, jnp.asarray(g.F, jnp.float32), mopts,
+            )
+            gpairs = matching_ops.matches_to_pairs(gi, gok)
+            if len(gpairs) > len(inlier_rows):
+                self.db.write_two_view_geometry(
+                    id1, id2, gpairs, g.config,
+                    F=g.F, E=g.E, H=g.H, qvec=g.qvec, tvec=g.tvec,
+                )
+                self.db.commit()
+                return len(gpairs)
+
+        inliers = pairs[inlier_rows] if len(inlier_rows) else np.zeros((0, 2), np.uint32)
+        self.db.write_two_view_geometry(
+            id1, id2, inliers, g.config, F=g.F, E=g.E, H=g.H, qvec=g.qvec, tvec=g.tvec
+        )
+        self.db.commit()
+        return len(inliers)
+
+
+def run_exhaustive_matcher(
+    database_path: str,
+    config: SiftMatchingConfig = SiftMatchingConfig(),
+    block_size: int = 50,
+) -> int:
+    """All-pairs matching in blocks (ExhaustiveFeatureMatcher,
+    matching.h:401)."""
+    db = Database(database_path)
+    w = _MatchWorker(db, config)
+    ids = sorted(db.images().keys())
+    n = 0
+    for bi in range(0, len(ids), block_size):
+        for bj in range(bi, len(ids), block_size):
+            for i in ids[bi : bi + block_size]:
+                for j in ids[bj : bj + block_size]:
+                    if j <= i:
+                        continue
+                    n += 1 if w.match_pair(i, j) else 0
+    db.close()
+    return n
+
+
+def run_sequential_matcher(
+    database_path: str,
+    config: SiftMatchingConfig = SiftMatchingConfig(),
+    overlap: int = 10,
+    quadratic_overlap: bool = True,
+    loop_detection: bool = False,
+    loop_detection_period: int = 10,
+    loop_detection_num_images: int = 30,
+) -> int:
+    """Consecutive-pair matching with optional retrieval loop closure
+    (SequentialFeatureMatcher, matching.h:434)."""
+    db = Database(database_path)
+    w = _MatchWorker(db, config)
+    ids = sorted(db.images().keys())  # name-ordered assumed == id order
+    n = 0
+    for a, i in enumerate(ids):
+        for d in range(1, overlap + 1):
+            offsets = [d, (1 << d)] if quadratic_overlap else [d]
+            for off in offsets:
+                b = a + off
+                if b < len(ids):
+                    n += 1 if w.match_pair(i, ids[b]) else 0
+    if loop_detection:
+        from ..ops import retrieval
+
+        index = retrieval.build_index(
+            {i: np.asarray(db.read_descriptors(i), np.float32) for i in ids}
+        )
+        for a in range(0, len(ids), loop_detection_period):
+            i = ids[a]
+            cand = retrieval.query(index, i, loop_detection_num_images)
+            for j in cand:
+                if j != i:
+                    n += 1 if w.match_pair(min(i, j), max(i, j)) else 0
+    db.close()
+    return n
+
+
+def run_spatial_matcher(
+    database_path: str,
+    locations: dict[int, np.ndarray],
+    config: SiftMatchingConfig = SiftMatchingConfig(),
+    max_num_neighbors: int = 50,
+    max_distance: float = 100.0,
+) -> int:
+    """Position-prior neighbor matching (SpatialFeatureMatcher,
+    matching.h:474): match each image against its nearest neighbors in space."""
+    db = Database(database_path)
+    w = _MatchWorker(db, config)
+    ids = [i for i in sorted(db.images().keys()) if i in locations]
+    locs = np.stack([locations[i] for i in ids])
+    n = 0
+    for a, i in enumerate(ids):
+        d = np.linalg.norm(locs - locs[a], axis=1)
+        order = np.argsort(d)
+        cnt = 0
+        for b in order:
+            j = ids[int(b)]
+            if j == i or d[b] > max_distance:
+                continue
+            if cnt >= max_num_neighbors:
+                break
+            cnt += 1
+            if j > i:
+                n += 1 if w.match_pair(i, j) else 0
+    db.close()
+    return n
+
+
+def run_transitive_matcher(
+    database_path: str,
+    config: SiftMatchingConfig = SiftMatchingConfig(),
+    batch_size: int = 1000,
+    num_iterations: int = 3,
+) -> int:
+    """Close the match graph transitively (TransitiveFeatureMatcher,
+    matching.h:513): if A-B and B-C matched, try A-C."""
+    db = Database(database_path)
+    w = _MatchWorker(db, config)
+    n = 0
+    for _ in range(num_iterations):
+        pairs = db.all_two_view_pair_ids()
+        adj: dict[int, set[int]] = {}
+        have = set()
+        for i, j in pairs:
+            adj.setdefault(i, set()).add(j)
+            adj.setdefault(j, set()).add(i)
+            have.add((min(i, j), max(i, j)))
+        todo = []
+        for b, nbrs in adj.items():
+            for a in nbrs:
+                for c in nbrs:
+                    if a < c and (a, c) not in have:
+                        todo.append((a, c))
+                        have.add((a, c))
+        if not todo:
+            break
+        for a, c in todo[:batch_size]:
+            n += 1 if w.match_pair(a, c) else 0
+    db.close()
+    return n
+
+
+def run_image_pairs_matcher(
+    database_path: str,
+    pairs: list[tuple[str, str]],
+    config: SiftMatchingConfig = SiftMatchingConfig(),
+) -> int:
+    """Match an explicit list of image-name pairs (ImagePairsFeatureMatcher)."""
+    db = Database(database_path)
+    w = _MatchWorker(db, config)
+    by_name = {v["name"]: k for k, v in db.images().items()}
+    n = 0
+    for n1, n2 in pairs:
+        if n1 in by_name and n2 in by_name:
+            i, j = by_name[n1], by_name[n2]
+            if i != j:
+                n += 1 if w.match_pair(min(i, j), max(i, j)) else 0
+    db.close()
+    return n
+
+
+def run_vocab_tree_matcher(
+    database_path: str,
+    config: SiftMatchingConfig = SiftMatchingConfig(),
+    num_images: int = 100,
+) -> int:
+    """Retrieval-based matching (VocabTreeFeatureMatcher, matching.h:455):
+    VLAD global descriptors instead of a FLANN vocab tree."""
+    from ..ops import retrieval
+
+    db = Database(database_path)
+    w = _MatchWorker(db, config)
+    ids = sorted(db.images().keys())
+    index = retrieval.build_index(
+        {i: np.asarray(db.read_descriptors(i), np.float32) for i in ids}
+    )
+    n = 0
+    for i in ids:
+        for j in retrieval.query(index, i, num_images):
+            if j > i:
+                n += 1 if w.match_pair(i, j) else 0
+    db.close()
+    return n

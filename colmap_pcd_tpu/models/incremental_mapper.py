@@ -222,7 +222,7 @@ class IncrementalMapper:
         if not point3D_ids or self.lidar_map is None:
             return
         pts = np.stack([self.rec.points3D[pid].xyz for pid in point3D_ids]).astype(np.float32)
-        lpts, lnrs, dists = self.lidar_map.nn_query(pts, pad_to=_bucket(len(point3D_ids), 1024))
+        lpts, lnrs, dists = self.lidar_map.nn_query(pts, pad_to=_bucket(len(point3D_ids), 4096))
         ground = np.asarray(pc_ops.classify_ground(jnp.asarray(lnrs)))
         planes = np.asarray(pc_ops.plane_through(jnp.asarray(lpts), jnp.asarray(lnrs)))
         for i, pid in enumerate(point3D_ids):

@@ -138,7 +138,11 @@ class LidarMap:
             )
         n = idx.size
         if budget is None:
-            budget = max(1 << int(np.ceil(np.log2(max(n, 1)))), 1024)
+            # quantize the padded budget to 4x steps (min 64k) so the number of
+            # distinct compiled depth_project shapes stays tiny — under the
+            # axon tunnel every new shape costs minutes of compilation
+            e = int(np.ceil(np.log2(max(n, 1)) / 2) * 2)
+            budget = max(1 << e, 65536)
         if n > budget:
             import logging
 
@@ -173,6 +177,12 @@ class LidarMap:
         F = feat_xy.shape[0]
         if feat_valid is None:
             feat_valid = np.ones(F, np.float32)
+        # pad the feature count to a power of two (min 1024): one compiled
+        # depth_project serves every image regardless of feature count
+        Fp = max(1024, 1 << int(np.ceil(np.log2(max(F, 1)))))
+        if Fp != F:
+            feat_xy = np.concatenate([feat_xy, np.zeros((Fp - F, 2), np.float32)])
+            feat_valid = np.concatenate([feat_valid, np.zeros(Fp - F, np.float32)])
         cand_idx, cand_valid = self.frustum_candidates(q, t, params, model_id, width, height)
         cand_pts = self.d_points[jnp.asarray(cand_idx)]
         cand_nrm = self.d_normals[jnp.asarray(cand_idx)]
@@ -191,9 +201,9 @@ class LidarMap:
             self.opts,
         )
         return {
-            "lidar_pt": np.asarray(lpt),
-            "lidar_nrm": np.asarray(lnr),
-            "found": np.asarray(found),
+            "lidar_pt": np.asarray(lpt)[:F],
+            "lidar_nrm": np.asarray(lnr)[:F],
+            "found": np.asarray(found)[:F],
         }
 
     # ------------------------------------------------------------------

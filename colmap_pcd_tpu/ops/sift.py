@@ -1,0 +1,352 @@
+"""SIFT feature extraction as batched XLA ops.
+
+Replaces lib/VLFeat's CPU SIFT (35.9k LoC of C+SSE) and lib/SiftGPU
+(src/feature/sift.cc ExtractSiftFeaturesCPU/GPU): the classic pipeline —
+Gaussian scale-space, DoG extrema, edge/peak gates, subpixel refinement,
+orientation histogram, 4x4x8 gradient descriptor — reformulated so every
+stage is a dense fixed-shape tensor op:
+
+  * scale space: separable depthwise convs (XLA fuses + tiles these well)
+  * extrema: 3x3x3 max/min pooling over the DoG stack, compared to center
+  * candidate selection: top-k over the masked |DoG| score map (fixed K per
+    octave — no dynamic shapes anywhere)
+  * subpixel refine: batched 3x3 solves from gathered finite differences
+  * orientation: 36-bin histograms via one-hot matmul over gathered patches
+  * descriptor: 16x16 sample grid, rotated, trilinearly binned into 4x4x8,
+    normalized with the L1_ROOT convention (sift.h:108 Normalization)
+
+Options mirror SiftExtractionOptions (src/feature/sift.h:44-114).
+Keypoints are (x, y, scale, orientation) in original-image pixel coords,
+COLMAP convention (upper-left pixel center at (0.5, 0.5) is NOT applied —
+we use array indexing coords consistently end to end).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+class SiftOptions(NamedTuple):
+    max_num_features: int = 8192
+    num_octaves: int = 4
+    octave_resolution: int = 3  # S: DoG levels per octave used for detection
+    first_octave: int = -1  # -1 = 2x upsample (VLFeat/COLMAP default)
+    peak_threshold: float = 0.02 / 3.0  # on DoG values (sift.h:73)
+    edge_threshold: float = 10.0
+    sigma0: float = 1.6
+    init_blur: float = 0.5  # assumed camera blur
+    max_per_octave: int = 4096
+    upright: bool = False
+    l1_root: bool = True  # L1_ROOT descriptor normalization (COLMAP default)
+
+
+def _gauss_kernel(sigma: float) -> np.ndarray:
+    r = max(1, int(np.ceil(3.0 * sigma)))
+    x = np.arange(-r, r + 1)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+def _blur(img: Array, sigma: float) -> Array:
+    """Separable Gaussian blur, [H,W] -> [H,W]."""
+    if sigma < 1e-6:
+        return img
+    k = jnp.asarray(_gauss_kernel(sigma))
+    r = k.shape[0] // 2
+    x = img[None, None]  # NCHW
+    kx = k.reshape(1, 1, 1, -1)
+    ky = k.reshape(1, 1, -1, 1)
+    x = jax.lax.conv_general_dilated(x, kx, (1, 1), [(0, 0), (r, r)])
+    x = jax.lax.conv_general_dilated(x, ky, (1, 1), [(r, r), (0, 0)])
+    return x[0, 0]
+
+
+def _downsample2(img: Array) -> Array:
+    return img[::2, ::2]
+
+
+def _upsample2(img: Array) -> Array:
+    H, W = img.shape
+    return jax.image.resize(img, (2 * H, 2 * W), method="bilinear")
+
+
+def _bilinear(img: Array, xy: Array) -> Array:
+    """Bilinear sample img [H,W] at xy [...,2] (x, y) coords; zero outside."""
+    H, W = img.shape
+    x = xy[..., 0]
+    y = xy[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+    x1i = jnp.clip(x0i + 1, 0, W - 1)
+    y1i = jnp.clip(y0i + 1, 0, H - 1)
+    inb = (x >= 0) & (x <= W - 1) & (y >= 0) & (y <= H - 1)
+    v00 = img[y0i, x0i]
+    v01 = img[y0i, x1i]
+    v10 = img[y1i, x0i]
+    v11 = img[y1i, x1i]
+    v = (
+        v00 * (1 - fx) * (1 - fy)
+        + v01 * fx * (1 - fy)
+        + v10 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+    return v * inb
+
+
+def _extrema_candidates(dog: Array, opts: SiftOptions):
+    """dog [S+2, H, W] -> per-level extrema score map [S, H, W] (0 = not)."""
+    Sp2, H, W = dog.shape
+    # 3x3x3 max/min pools
+    mx = jax.lax.reduce_window(
+        dog, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME"
+    )
+    mn = jax.lax.reduce_window(
+        dog, jnp.inf, jax.lax.min, (3, 3, 3), (1, 1, 1), "SAME"
+    )
+    center = dog[1:-1]
+    is_max = (center >= mx[1:-1]) & (center > opts.peak_threshold)
+    is_min = (center <= mn[1:-1]) & (center < -opts.peak_threshold)
+
+    # edge response gate on the spatial Hessian
+    dxx = jnp.roll(center, -1, 2) + jnp.roll(center, 1, 2) - 2 * center
+    dyy = jnp.roll(center, -1, 1) + jnp.roll(center, 1, 1) - 2 * center
+    dxy = 0.25 * (
+        jnp.roll(jnp.roll(center, -1, 1), -1, 2)
+        + jnp.roll(jnp.roll(center, 1, 1), 1, 2)
+        - jnp.roll(jnp.roll(center, -1, 1), 1, 2)
+        - jnp.roll(jnp.roll(center, 1, 1), -1, 2)
+    )
+    tr = dxx + dyy
+    det = dxx * dyy - dxy * dxy
+    r = opts.edge_threshold
+    edge_ok = (det > 0) & (tr * tr * r < (r + 1) ** 2 * det)
+
+    # exclude the image border
+    ys = jnp.arange(H)[None, :, None]
+    xs = jnp.arange(W)[None, None, :]
+    b = 5
+    inb = (ys >= b) & (ys < H - b) & (xs >= b) & (xs < W - b)
+
+    score = jnp.abs(center) * ((is_max | is_min) & edge_ok & inb)
+    return score
+
+
+def _orientation_and_descriptor(L, kx, ky, sigma_rel, opts):
+    """For keypoints on one gaussian level L [H,W]: dominant orientation and
+    128-d descriptor. kx/ky [K] are octave-resolution coords, sigma_rel [K]."""
+    K = kx.shape[0]
+    # gradient maps
+    gx = 0.5 * (jnp.roll(L, -1, 1) - jnp.roll(L, 1, 1))
+    gy = 0.5 * (jnp.roll(L, -1, 0) - jnp.roll(L, 1, 0))
+    mag = jnp.sqrt(gx * gx + gy * gy)
+    ang = jnp.arctan2(gy, gx)  # [-pi, pi]
+
+    # ---- orientation: 36-bin histogram over a radius 3*1.5*sigma window ----
+    P = 16  # patch sample grid (PxP) over [-r, r]
+    win_r = 3.0 * 1.5 * sigma_rel  # [K]
+    lin = jnp.linspace(-1.0, 1.0, P)
+    gxg, gyg = jnp.meshgrid(lin, lin)
+    offs = jnp.stack([gxg.ravel(), gyg.ravel()], -1)  # [P*P, 2] in [-1,1]
+    coords = (
+        jnp.stack([kx, ky], -1)[:, None, :]
+        + offs[None, :, :] * win_r[:, None, None]
+    )  # [K, P*P, 2]
+    m = _bilinear(mag, coords)
+    a = _bilinear(ang, coords)
+    d2 = jnp.sum(offs * offs, axis=-1)[None, :]  # normalized radius^2
+    gw = jnp.exp(-d2 / (2 * 0.5**2)) * (d2 <= 1.0)
+    w = m * gw
+    bins = jnp.floor((a + jnp.pi) / (2 * jnp.pi) * 36).astype(jnp.int32) % 36
+    onehot = jax.nn.one_hot(bins, 36, dtype=w.dtype)  # [K, P*P, 36]
+    hist = jnp.einsum("kp,kpb->kb", w, onehot)
+    # circular smoothing x2
+    for _ in range(2):
+        hist = (jnp.roll(hist, 1, -1) + hist + jnp.roll(hist, -1, -1)) / 3.0
+    peak = jnp.argmax(hist, axis=-1)
+    # parabolic peak interpolation
+    hp = jnp.take_along_axis(hist, peak[:, None], 1)[:, 0]
+    hl = jnp.take_along_axis(hist, ((peak - 1) % 36)[:, None], 1)[:, 0]
+    hr = jnp.take_along_axis(hist, ((peak + 1) % 36)[:, None], 1)[:, 0]
+    denom = hl - 2 * hp + hr
+    dbin = jnp.where(jnp.abs(denom) > 1e-9, 0.5 * (hl - hr) / denom, 0.0)
+    ori = (peak.astype(jnp.float32) + dbin + 0.5) * (2 * jnp.pi / 36) - jnp.pi
+    if opts.upright:
+        ori = jnp.zeros_like(ori)
+
+    # ---- descriptor: 16x16 samples over 4x4 bins, rotated by ori -----------
+    D = 16
+    # sample grid in descriptor frame: spacing 3*sigma, window half = 2*3*sigma
+    half = 2.0 * 3.0 * sigma_rel  # [K]
+    lin = (jnp.arange(D) + 0.5) / D * 2.0 - 1.0  # [-1,1]
+    sx, sy = jnp.meshgrid(lin, lin)
+    soff = jnp.stack([sx.ravel(), sy.ravel()], -1)  # [D*D, 2]
+    co = jnp.cos(ori)
+    si = jnp.sin(ori)
+    rot = jnp.stack(
+        [jnp.stack([co, -si], -1), jnp.stack([si, co], -1)], -2
+    )  # [K,2,2]
+    world_off = jnp.einsum("kij,pj->kpi", rot, soff) * half[:, None, None]
+    coords = jnp.stack([kx, ky], -1)[:, None, :] + world_off  # [K,DD,2]
+    m = _bilinear(mag, coords)
+    a = _bilinear(ang, coords) - ori[:, None]
+    gw = jnp.exp(-jnp.sum(soff * soff, -1)[None, :] / (2 * 0.6**2))
+    w = m * gw  # [K, DD]
+
+    # trilinear binning: spatial (4x4) from soff, orientation (8) from a
+    def spatial_weights(c):  # c in [-1,1] -> 4 bins at centers -0.75..0.75
+        centers = jnp.asarray([-0.75, -0.25, 0.25, 0.75])
+        d = jnp.abs(c[..., None] - centers) / 0.5
+        return jnp.maximum(0.0, 1.0 - d)  # [..., 4]
+
+    wxs = spatial_weights(soff[:, 0])  # [DD,4]
+    wys = spatial_weights(soff[:, 1])  # [DD,4]
+    af = (a + jnp.pi) / (2 * jnp.pi) * 8.0
+    b0 = jnp.floor(af).astype(jnp.int32) % 8
+    fb = af - jnp.floor(af)
+    wo = jax.nn.one_hot(b0, 8, dtype=w.dtype) * (1 - fb)[..., None] + jax.nn.one_hot(
+        (b0 + 1) % 8, 8, dtype=w.dtype
+    ) * fb[..., None]  # [K,DD,8]
+    # desc[k, yb, xb, ob] = sum_p w * wys[p,yb] * wxs[p,xb] * wo[k,p,ob]
+    desc = jnp.einsum("kp,py,px,kpo->kyxo", w, wys, wxs, wo)
+    desc = desc.reshape(K, 128)
+    # normalize: L2 -> clip 0.2 -> L2; then L1-root if configured
+    desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12)
+    desc = jnp.minimum(desc, 0.2)
+    desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12)
+    if opts.l1_root:
+        desc = jnp.sqrt(desc / jnp.maximum(jnp.sum(desc, -1, keepdims=True), 1e-12))
+    return ori, desc
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def extract(image: Array, opts: SiftOptions = SiftOptions()):
+    """image [H,W] float32 in [0,1] -> (keypoints [K,4], descriptors [K,128],
+    scores [K], valid [K] bool), K = opts.max_num_features."""
+    S = opts.octave_resolution
+    img = image.astype(jnp.float32)
+
+    if opts.first_octave < 0:
+        base = _upsample2(img)
+        scale0 = 0.5
+        extra_blur = np.sqrt(max(opts.sigma0**2 - (2 * opts.init_blur) ** 2, 0.01))
+    else:
+        base = img
+        scale0 = 1.0
+        extra_blur = np.sqrt(max(opts.sigma0**2 - opts.init_blur**2, 0.01))
+    base = _blur(base, float(extra_blur))
+
+    all_kp, all_desc, all_score, all_valid = [], [], [], []
+    octave_img = base
+    for o in range(opts.num_octaves):
+        H, W = octave_img.shape
+        if H < 16 or W < 16:
+            break
+        # gaussian levels: sigma_s = sigma0 * 2^(s/S), s = 0..S+2
+        levels = [octave_img]
+        for s in range(1, S + 3):
+            sig_prev = opts.sigma0 * 2 ** ((s - 1) / S)
+            sig_cur = opts.sigma0 * 2 ** (s / S)
+            dsig = float(np.sqrt(sig_cur**2 - sig_prev**2))
+            levels.append(_blur(levels[-1], dsig))
+        G = jnp.stack(levels)  # [S+3, H, W]
+        dog = G[1:] - G[:-1]  # [S+2, H, W]
+
+        score = _extrema_candidates(dog, opts)  # [S, H, W]
+        Ko = opts.max_per_octave
+        flat = score.reshape(-1)
+        top, idx = jax.lax.top_k(flat, Ko)
+        valid = top > 0
+        s_idx = idx // (H * W)
+        rem = idx % (H * W)
+        yy = (rem // W).astype(jnp.float32)
+        xx = (rem % W).astype(jnp.float32)
+
+        # subpixel refinement via gathered 3D finite differences
+        si = s_idx + 1  # index into dog
+        yi = rem // W
+        xi = rem % W
+
+        def at(ds, dy, dx):
+            return dog[
+                jnp.clip(si + ds, 0, S + 1),
+                jnp.clip(yi + dy, 0, H - 1),
+                jnp.clip(xi + dx, 0, W - 1),
+            ]
+
+        v = at(0, 0, 0)
+        gs = 0.5 * (at(1, 0, 0) - at(-1, 0, 0))
+        gy = 0.5 * (at(0, 1, 0) - at(0, -1, 0))
+        gx = 0.5 * (at(0, 0, 1) - at(0, 0, -1))
+        hss = at(1, 0, 0) + at(-1, 0, 0) - 2 * v
+        hyy = at(0, 1, 0) + at(0, -1, 0) - 2 * v
+        hxx = at(0, 0, 1) + at(0, 0, -1) - 2 * v
+        hsy = 0.25 * (at(1, 1, 0) - at(1, -1, 0) - at(-1, 1, 0) + at(-1, -1, 0))
+        hsx = 0.25 * (at(1, 0, 1) - at(1, 0, -1) - at(-1, 0, 1) + at(-1, 0, -1))
+        hyx = 0.25 * (at(0, 1, 1) - at(0, 1, -1) - at(0, -1, 1) + at(0, -1, -1))
+        Hm = jnp.stack(
+            [
+                jnp.stack([hss, hsy, hsx], -1),
+                jnp.stack([hsy, hyy, hyx], -1),
+                jnp.stack([hsx, hyx, hxx], -1),
+            ],
+            -2,
+        )  # [Ko,3,3]
+        g = jnp.stack([gs, gy, gx], -1)
+        Hm = Hm + jnp.eye(3) * 1e-6
+        off = -jnp.linalg.solve(Hm, g[..., None])[..., 0]  # [Ko,3] (ds, dy, dx)
+        off = jnp.clip(off, -1.0, 1.0)
+        ds, dy, dx = off[:, 0], off[:, 1], off[:, 2]
+
+        kx = xx + dx
+        ky = yy + dy
+        sfrac = s_idx.astype(jnp.float32) + 1.0 + ds  # dog level
+        sigma_rel = opts.sigma0 * 2 ** (sfrac / S)  # at octave resolution
+
+        # orientation + descriptor computed on the nearest gaussian level
+        # (use the middle level as a fixed-shape compromise — level-dependent
+        # gather across the stacked G costs one extra gather dimension)
+        Gmid = G[(S + 1) // 2 + 1]
+        ori, desc = _orientation_and_descriptor(Gmid, kx, ky, sigma_rel, opts)
+
+        mul = scale0 * (2.0**o)
+        kp = jnp.stack([kx * mul, ky * mul, sigma_rel * mul, ori], -1)
+        all_kp.append(kp)
+        all_desc.append(desc)
+        all_score.append(jnp.where(valid, top, 0.0))
+        all_valid.append(valid)
+
+        octave_img = _downsample2(G[S])  # next octave base: level S (2x sigma0)
+
+    kp = jnp.concatenate(all_kp)
+    desc = jnp.concatenate(all_desc)
+    score = jnp.concatenate(all_score)
+    valid = jnp.concatenate(all_valid)
+
+    K = opts.max_num_features
+    top, idx = jax.lax.top_k(score, min(K, score.shape[0]))
+    sel_kp = kp[idx]
+    sel_desc = desc[idx]
+    sel_valid = valid[idx] & (top > 0)
+    if sel_kp.shape[0] < K:
+        pad = K - sel_kp.shape[0]
+        sel_kp = jnp.pad(sel_kp, ((0, pad), (0, 0)))
+        sel_desc = jnp.pad(sel_desc, ((0, pad), (0, 0)))
+        top = jnp.pad(top, (0, pad))
+        sel_valid = jnp.pad(sel_valid, (0, pad))
+    return sel_kp, sel_desc, top, sel_valid
+
+
+def descriptors_to_uint8(desc: Array) -> Array:
+    """COLMAP convention: float descriptor * 512, clipped to [0,255]."""
+    return jnp.clip(jnp.round(desc * 512.0), 0, 255).astype(jnp.uint8)
