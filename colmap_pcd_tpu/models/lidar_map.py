@@ -207,8 +207,26 @@ class LidarMap:
         }
 
     # ------------------------------------------------------------------
-    def nn_query(self, queries: np.ndarray, pad_to: int | None = None):
-        """Exact 1-NN against the full map. Returns (points, normals, dists)."""
+    @property
+    def host_tree(self):
+        """Lazy native C++ kd-tree (cpp/native.cpp) — the host-side NN path.
+        None when the native lib is unavailable."""
+        t = getattr(self, "_host_tree", None)
+        if t is None:
+            from ..utils.native import NativeKdTree, get_lib
+
+            t = NativeKdTree(self.points) if get_lib() is not None else False
+            self._host_tree = t
+        return t or None
+
+    def nn_query(self, queries: np.ndarray, pad_to: int | None = None, backend: str = "auto"):
+        """Exact 1-NN against the full map. Returns (points, normals, dists).
+
+        backend: "host" = native C++ kd-tree (microseconds/query — wins for
+        the mapper's small per-registration batches, especially through the
+        axon tunnel's ~10ms dispatch), "tpu" = blocked-matmul device kernel,
+        "auto" = host when the native lib is built, else tpu.
+        """
         Q = queries.shape[0]
         if Q == 0:
             return (
@@ -216,6 +234,9 @@ class LidarMap:
                 np.zeros((0, 3), np.float32),
                 np.zeros((0,), np.float32),
             )
+        if backend in ("auto", "host") and self.host_tree is not None:
+            idx, dist = self.host_tree.nn(np.asarray(queries, np.float32))
+            return self.points[idx], self.normals[idx], dist
         qpad = Q if pad_to is None else pad_to
         qarr = np.zeros((qpad, 3), np.float32)
         qarr[:Q] = queries

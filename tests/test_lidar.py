@@ -119,13 +119,14 @@ def test_depth_projection_zbuffer_prefers_near():
 def test_nn_query_exact(rng):
     m = _wall_map()
     queries = np.asarray([[0.1, 0.2, 9.5], [1.0, 2.1, 5.0]], np.float32)
-    pts, nrm, dist = m.nn_query(queries)
-    # brute-force oracle
-    for i, qp in enumerate(queries):
-        d = np.linalg.norm(m.points - qp, axis=1)
-        j = np.argmin(d)
-        np.testing.assert_allclose(pts[i], m.points[j], atol=1e-6)
-        np.testing.assert_allclose(dist[i], d[j], atol=1e-4)
+    for backend in ("host", "tpu"):
+        pts, nrm, dist = m.nn_query(queries, backend=backend)
+        # brute-force oracle
+        for i, qp in enumerate(queries):
+            d = np.linalg.norm(m.points - qp, axis=1)
+            j = np.argmin(d)
+            np.testing.assert_allclose(pts[i], m.points[j], atol=1e-6, err_msg=backend)
+            np.testing.assert_allclose(dist[i], d[j], atol=1e-4, err_msg=backend)
 
 
 def test_ray_plane_bootstrap_nonidentity_pose(rng):
