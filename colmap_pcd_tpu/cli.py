@@ -423,6 +423,45 @@ def cmd_image_undistorter(argv):
     return 0
 
 
+def cmd_patch_match_stereo(argv):
+    """Dense stereo over an undistorted workspace (RunPatchMatchStereo —
+    plane-sweep formulation, see ops/stereo.py)."""
+    workspace = None
+    it = iter(argv)
+    for a in it:
+        if a == "--workspace_path":
+            workspace = next(it)
+    from .models.mvs import DenseOptions, run_patch_match_stereo
+
+    n = run_patch_match_stereo(workspace, DenseOptions())
+    print(f"Computed depth/normal maps for {n} views")
+    return 0
+
+
+def cmd_stereo_fusion(argv):
+    workspace = output_path = None
+    it = iter(argv)
+    for a in it:
+        if a == "--workspace_path":
+            workspace = next(it)
+        elif a == "--output_path":
+            output_path = next(it)
+    from .models.mvs import DenseOptions, run_stereo_fusion
+
+    pts, nrm, col = run_stereo_fusion(workspace, output_path, DenseOptions())
+    print(f"Fused {len(pts)} points")
+    return 0
+
+
+def cmd_poisson_mesher(argv):
+    print(
+        "Meshing is not implemented in this TPU build (lib/PoissonRecon /"
+        " CGAL territory; planned). Use the fused.ply with an external mesher"
+        " (e.g. open3d / meshlab Poisson)."
+    )
+    return 1
+
+
 def cmd_database_creator(argv):
     om, _ = _opt(argv)
     from .models.database import Database
@@ -484,6 +523,10 @@ COMMANDS = {
     "model_transformer": cmd_model_transformer,
     "model_aligner": cmd_model_aligner,
     "image_undistorter": cmd_image_undistorter,
+    "patch_match_stereo": cmd_patch_match_stereo,
+    "stereo_fusion": cmd_stereo_fusion,
+    "poisson_mesher": cmd_poisson_mesher,
+    "delaunay_mesher": cmd_poisson_mesher,
     "database_creator": cmd_database_creator,
     "automatic_reconstructor": cmd_automatic_reconstructor,
     "gui": cmd_gui,
