@@ -253,11 +253,11 @@ class BundleAdjustmentController:
             # (bundle_adjustment.cc:127-179)
             pids = sorted(rec.points3D.keys())
             pts = np.stack([rec.points3D[p].xyz for p in pids]).astype(np.float32)
+            from ..ops import np_geom
+
             lpts, lnrs, dists = self.lidar_map.nn_query(pts, pad_to=_bucket(len(pids)))
-            planes = np.asarray(
-                pc_ops.plane_through(jnp.asarray(lpts), jnp.asarray(lnrs))
-            )
-            ground = np.asarray(pc_ops.classify_ground(jnp.asarray(lnrs)))
+            planes = np_geom.plane_through(lpts, lnrs)
+            ground = np_geom.classify_ground(lnrs)
             for i, pid in enumerate(pids):
                 d2plane = abs(float(np.dot(planes[i, :3], pts[i]) + planes[i, 3]))
                 if d2plane > 1.0 or dists[i] > 2.0:

@@ -39,6 +39,7 @@ import numpy as np
 from ..ops import ba as ba_ops
 from ..ops import camera_models as cm
 from ..ops import pointcloud as pc_ops
+from ..ops import np_geom
 from ..ops import ransac as ransac_ops
 from ..ops import se3, solvers
 from .correspondence_graph import CorrespondenceGraph
@@ -213,7 +214,7 @@ class IncrementalMapper:
         if best is None:
             return
         lpt, lnr = best
-        plane = np.asarray(pc_ops.plane_through(jnp.asarray(lpt), jnp.asarray(lnr)))
+        plane = np_geom.plane_through(lpt, lnr)
         self.rec.add_lidar_point(point3D_id, LidarAssoc(LIDAR_PROJ, np.asarray(lpt, np.float64), plane))
 
     def _match_closest_lidar_points(self, point3D_ids: list[int], max_ranges: list[float]):
@@ -223,8 +224,8 @@ class IncrementalMapper:
             return
         pts = np.stack([self.rec.points3D[pid].xyz for pid in point3D_ids]).astype(np.float32)
         lpts, lnrs, dists = self.lidar_map.nn_query(pts, pad_to=_bucket(len(point3D_ids), 4096))
-        ground = np.asarray(pc_ops.classify_ground(jnp.asarray(lnrs)))
-        planes = np.asarray(pc_ops.plane_through(jnp.asarray(lpts), jnp.asarray(lnrs)))
+        ground = np_geom.classify_ground(lnrs)
+        planes = np_geom.plane_through(lpts, lnrs)
         for i, pid in enumerate(point3D_ids):
             if not np.isfinite(lnrs[i]).all() or np.linalg.norm(lnrs[i]) < 1e-6:
                 continue
@@ -255,10 +256,7 @@ class IncrementalMapper:
         t_wc = np.asarray([-opts.init_image_y, -opts.init_image_z, opts.init_image_x])
         R_cw = R_wc.T
         t_cw = -R_cw @ t_wc
-        q_cw = np.asarray(
-            se3.rotmat_to_quat(jnp.asarray(R_cw, jnp.float32)), np.float64
-        )
-        return q_cw, t_cw
+        return np_geom.rotmat_to_quat(R_cw), t_cw
 
     def register_initial_image_pair_by_depth_proj(
         self, opts: MapperOptions, image_id1: int, image_id2: int
@@ -308,9 +306,7 @@ class IncrementalMapper:
 
         # PnP for image2 on the lidar-depth points
         uv2 = img2.xys[matches[sel, 1]].astype(np.float32)
-        n2 = np.asarray(
-            cm.image_to_world(cam2.model_id, jnp.asarray(cam2.padded_params()), jnp.asarray(uv2))
-        )
+        n2 = np_geom.image_to_world(cam2.model_id, cam2.padded_params(), uv2).astype(np.float32)
         npad = _bucket(sel.size, 1024)
         uvp = np.zeros((npad, 2), np.float32)
         Xp = np.zeros((npad, 3), np.float32)
@@ -467,7 +463,7 @@ class IncrementalMapper:
 
         uv = np.asarray(tri_uv, np.float32)
         X = np.asarray(tri_X, np.float32)
-        nuv = np.asarray(cm.image_to_world(cam.model_id, jnp.asarray(cam.padded_params()), jnp.asarray(uv)))
+        nuv = np_geom.image_to_world(cam.model_id, cam.padded_params(), uv).astype(np.float32)
         npad = _bucket(len(tri_uv), 1024)
         uvp = np.zeros((npad, 2), np.float32)
         Xp = np.zeros((npad, 3), np.float32)

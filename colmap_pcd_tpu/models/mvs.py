@@ -69,6 +69,8 @@ def _select_sources(rec: Reconstruction, ref_id: int, n: int) -> list[int]:
 def _depth_range(rec: Reconstruction, ref_id: int) -> tuple[float, float]:
     """Depth bounds from the sparse points visible in the view
     (patch_match.cc depth_min/max from sparse model)."""
+    from ..ops import np_geom
+
     img = rec.images[ref_id]
     q, t = _pose(img)
     zs = []
@@ -76,11 +78,7 @@ def _depth_range(rec: Reconstruction, ref_id: int) -> tuple[float, float]:
         p = rec.points3D.get(int(pid))
         if p is None:
             continue
-        z = float(
-            np.asarray(
-                se3_ops.se3_apply(jnp.asarray(q), jnp.asarray(t), jnp.asarray(p.xyz, jnp.float32))
-            )[2]
-        )
+        z = float(np_geom.se3_apply(q, t, p.xyz)[2])
         if z > 0:
             zs.append(z)
     if not zs:
@@ -139,14 +137,13 @@ def run_patch_match_stereo(
             w = min(s_pad.shape[1], s_img.shape[1])
             s_pad[:h, :w] = s_img[:h, :w]
             src_imgs.append(s_pad)
+            from ..ops import np_geom
+
             q_s, t_s = _pose(rec.images[sid])
             # relative: x_src = R_rel x_ref + t_rel
-            q_rel, t_rel = se3_ops.se3_compose(
-                jnp.asarray(q_s), jnp.asarray(t_s),
-                *se3_ops.se3_inverse(jnp.asarray(q_r), jnp.asarray(t_r)),
-            )
-            R_rels.append(np.asarray(se3_ops.quat_to_rotmat(q_rel)))
-            t_rels.append(np.asarray(t_rel))
+            q_rel, t_rel = np_geom.se3_compose(q_s, t_s, *np_geom.se3_inverse(q_r, t_r))
+            R_rels.append(np_geom.quat_to_rotmat(q_rel).astype(np.float32))
+            t_rels.append(np.asarray(t_rel, np.float32))
             K_srcs.append(_K_of(rec.cameras[rec.images[sid].camera_id], s_scale))
         dmin, dmax = (options.depth_min, options.depth_max)
         if dmin <= 0 or dmax <= 0:
@@ -203,6 +200,8 @@ def run_stereo_fusion(
         others = [i for i in ids if i != ref_id][:4]
         if not others:
             continue
+        from ..ops import np_geom
+
         q_r, t_r = _pose(rec.images[ref_id])
         scale = 1.0
         if images is not None:
@@ -212,12 +211,9 @@ def run_stereo_fusion(
         R_os, t_os, d_os = [], [], []
         for oid in others:
             q_o, t_o = _pose(rec.images[oid])
-            q_rel, t_rel = se3_ops.se3_compose(
-                jnp.asarray(q_o), jnp.asarray(t_o),
-                *se3_ops.se3_inverse(jnp.asarray(q_r), jnp.asarray(t_r)),
-            )
-            R_os.append(np.asarray(se3_ops.quat_to_rotmat(q_rel)))
-            t_os.append(np.asarray(t_rel))
+            q_rel, t_rel = np_geom.se3_compose(q_o, t_o, *np_geom.se3_inverse(q_r, t_r))
+            R_os.append(np_geom.quat_to_rotmat(q_rel).astype(np.float32))
+            t_os.append(np.asarray(t_rel, np.float32))
             do = maps[oid][0]
             dfix = np.zeros((H, W), np.float32)
             h = min(H, do.shape[0])
@@ -238,9 +234,9 @@ def run_stereo_fusion(
         Kinv = np.linalg.inv(K)
         pix = np.stack([xs, ys, np.ones_like(xs)], -1).astype(np.float32)
         x_cam = (pix @ Kinv.T) * z[:, None]
-        qi, ti = se3_ops.se3_inverse(jnp.asarray(q_r), jnp.asarray(t_r))
-        x_w = np.asarray(se3_ops.quat_rotate(qi, jnp.asarray(x_cam)) + se3_ops.projection_center(jnp.asarray(q_r), jnp.asarray(t_r)))
-        n_w = np.asarray(se3_ops.quat_rotate(qi, jnp.asarray(normal[ys, xs])))
+        qi, ti = np_geom.se3_inverse(q_r, t_r)
+        x_w = np_geom.quat_rotate(qi, x_cam) + np_geom.projection_center(q_r, t_r)
+        n_w = np_geom.quat_rotate(qi, normal[ys, xs])
         if images is not None:
             img0 = images[ref_id]
             g = (np.clip(img0[np.minimum((ys / scale).astype(int), img0.shape[0] - 1), np.minimum((xs / scale).astype(int), img0.shape[1] - 1)] * 255, 0, 255)).astype(np.uint8)

@@ -77,13 +77,9 @@ class Image:
         return int(np.sum(self.point3D_ids != INVALID_POINT3D))
 
     def projection_center(self) -> np.ndarray:
-        import jax.numpy as jnp
+        from ..ops import np_geom
 
-        return np.asarray(
-            se3_ops.projection_center(
-                jnp.asarray(self.qvec, jnp.float32), jnp.asarray(self.tvec, jnp.float32)
-            )
-        )
+        return np_geom.projection_center(self.qvec, self.tvec)
 
 
 LIDAR_PROJ = 0
@@ -253,26 +249,20 @@ class Reconstruction:
 
     # -------------------------------------------------------------- filtering
     def compute_reproj_errors(self, point3D_id: int) -> list[float]:
-        import jax.numpy as jnp
-
-        from ..ops import camera_models as cmm
+        from ..ops import np_geom
 
         p = self.points3D[point3D_id]
         errs = []
         for image_id, p2d_idx in p.track:
             img = self.images[image_id]
             cam = self.cameras[img.camera_id]
-            xy, z = cmm.project(
-                cam.model_id,
-                jnp.asarray(cam.padded_params()),
-                jnp.asarray(img.qvec, jnp.float32),
-                jnp.asarray(img.tvec, jnp.float32),
-                jnp.asarray(p.xyz, jnp.float32),
+            xy, z = np_geom.project(
+                cam.model_id, cam.padded_params(), img.qvec, img.tvec, p.xyz
             )
-            if float(z) <= 0:
+            if z <= 0:
                 errs.append(np.inf)
             else:
-                errs.append(float(np.linalg.norm(np.asarray(xy) - img.xys[p2d_idx])))
+                errs.append(float(np.linalg.norm(xy - img.xys[p2d_idx])))
         return errs
 
     def filter_points3D(
@@ -296,29 +286,25 @@ class Reconstruction:
         ]
         if not ids:
             return 0
-        # flatten observations
+        from ..ops import np_geom
+
         obs = []
         for pid in ids:
             for image_id, p2d_idx in self.points3D[pid].track:
                 obs.append((pid, image_id, p2d_idx))
         if not obs:
             return 0
-        # group by camera model (usually one)
         n_del = 0
-        # vectorized reprojection via per-observation arrays
-        xyz = np.stack([self.points3D[pid].xyz for pid, _, _ in obs]).astype(np.float32)
-        qv = np.stack([self.images[i].qvec for _, i, _ in obs]).astype(np.float32)
-        tv = np.stack([self.images[i].tvec for _, i, _ in obs]).astype(np.float32)
-        uv = np.stack([self.images[i].xys[j] for _, i, j in obs]).astype(np.float32)
-        cams = {c.camera_id for c in self.cameras.values()}
-        # assume homogeneous model across cameras (true for our pipelines)
+        xyz = np.stack([self.points3D[pid].xyz for pid, _, _ in obs])
+        qv = np.stack([self.images[i].qvec for _, i, _ in obs])
+        tv = np.stack([self.images[i].tvec for _, i, _ in obs])
+        uv = np.stack([self.images[i].xys[j] for _, i, j in obs])
         model_id = next(iter(self.cameras.values())).model_id
         par = np.stack(
             [self.cameras[self.images[i].camera_id].padded_params() for _, i, _ in obs]
-        ).astype(np.float32)
-        xy, z = cmm.project(model_id, jnp.asarray(par), jnp.asarray(qv), jnp.asarray(tv), jnp.asarray(xyz))
-        err = np.linalg.norm(np.asarray(xy) - uv, axis=-1)
-        zs = np.asarray(z)
+        )
+        xy, zs = np_geom.project(model_id, par, qv, tv, xyz)
+        err = np.linalg.norm(xy - uv, axis=-1)
         bad = (err > max_reproj_error) | (zs <= 0)
         for (pid, image_id, p2d_idx), b in zip(obs, bad):
             if b and pid in self.points3D and (image_id, p2d_idx) in self.points3D[pid].track:
@@ -334,15 +320,7 @@ class Reconstruction:
             max_ang = 0.0
             for a in range(len(centers)):
                 for b in range(a + 1, len(centers)):
-                    import jax.numpy as jnp2
-
-                    ang = float(
-                        solvers.triangulation_angle(
-                            jnp2.asarray(centers[a], jnp2.float32),
-                            jnp2.asarray(centers[b], jnp2.float32),
-                            jnp2.asarray(p.xyz, jnp2.float32),
-                        )
-                    )
+                    ang = float(np_geom.triangulation_angle(centers[a], centers[b], p.xyz))
                     max_ang = max(max_ang, ang)
                 if max_ang >= min_ang:
                     break
@@ -377,21 +355,17 @@ class Reconstruction:
     def transform(self, q, t, scale=1.0):
         """Apply a similarity transform to all poses and points
         (reconstruction.cc Transform)."""
-        import jax.numpy as jnp
+        from ..ops import np_geom
 
         q = np.asarray(q, np.float64)
         t = np.asarray(t, np.float64)
-        R = np.asarray(se3_ops.quat_to_rotmat(jnp.asarray(q, jnp.float32)), np.float64)
+        R = np_geom.quat_to_rotmat(q)
         for img in self.images.values():
-            Ri = np.asarray(
-                se3_ops.quat_to_rotmat(jnp.asarray(img.qvec, jnp.float32)), np.float64
-            )
+            Ri = np_geom.quat_to_rotmat(img.qvec)
             # world' = s R world + t  =>  R' = Ri R^T, t' = s ti - R' t
             Rn = Ri @ R.T
             tn = scale * img.tvec - Rn @ t
-            img.qvec = np.asarray(
-                se3_ops.rotmat_to_quat(jnp.asarray(Rn, jnp.float32)), np.float64
-            )
+            img.qvec = np_geom.rotmat_to_quat(Rn)
             img.tvec = tn
         for p in self.points3D.values():
             p.xyz = scale * (R @ p.xyz) + t
@@ -596,6 +570,8 @@ class Reconstruction:
 def save_image_poses(path: str, rec: Reconstruction, order: list[int] | None = None):
     import jax.numpy as jnp
 
+    from ..ops import np_geom
+
     ids = order if order is not None else sorted(rec.images.keys())
     rows = []
     for iid in ids:
@@ -607,10 +583,8 @@ def save_image_poses(path: str, rec: Reconstruction, order: list[int] | None = N
         # convert to lidar frame: (x,y,z)_lidar = (z, -x, -y)_map
         x, y, z = C[2], -C[0], -C[1]
         # camera-to-world rotation in map frame -> lidar-frame euler
-        q_wc = np.asarray(
-            se3_ops.quat_conj(jnp.asarray(img.qvec, jnp.float32))
-        )
-        r, p, yw = (float(v) for v in se3_ops.quat_to_euler_zyx(jnp.asarray(q_wc)))
+        q_wc = np_geom.quat_conj(img.qvec)
+        r, p, yw = (float(v) for v in se3_ops.quat_to_euler_zyx(jnp.asarray(q_wc, jnp.float32)))
         rows.append([x, y, z, r, p, yw])
     with open(path, "w") as f:
         f.write("ply\nformat ascii 1.0\n")

@@ -17,11 +17,9 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-import jax.numpy as jnp
 import numpy as np
 
-from ..ops import camera_models as cm
-from ..ops import se3, solvers
+from ..ops import np_geom
 from .reconstruction import INVALID_POINT3D, Reconstruction
 
 
@@ -50,26 +48,15 @@ class IncrementalTriangulator:
     def _normalized(self, image_id: int, feat_idx: int) -> np.ndarray:
         img = self.rec.images[image_id]
         cam = self.rec.cameras[img.camera_id]
-        uv = cm.image_to_world(
-            cam.model_id,
-            jnp.asarray(cam.padded_params()),
-            jnp.asarray(img.xys[feat_idx], jnp.float32),
-        )
-        return np.asarray(uv)
+        return np_geom.image_to_world(cam.model_id, cam.padded_params(), img.xys[feat_idx])
 
     def _reproj_error(self, image_id: int, feat_idx: int, xyz: np.ndarray) -> float:
         img = self.rec.images[image_id]
         cam = self.rec.cameras[img.camera_id]
-        xy, z = cm.project(
-            cam.model_id,
-            jnp.asarray(cam.padded_params()),
-            jnp.asarray(img.qvec, jnp.float32),
-            jnp.asarray(img.tvec, jnp.float32),
-            jnp.asarray(xyz, jnp.float32),
-        )
-        if float(z) <= 0:
+        xy, z = np_geom.project(cam.model_id, cam.padded_params(), img.qvec, img.tvec, xyz)
+        if z <= 0:
             return np.inf
-        return float(np.linalg.norm(np.asarray(xy) - img.xys[feat_idx]))
+        return float(np.linalg.norm(xy - img.xys[feat_idx]))
 
     # ------------------------------------------------------------------
     def triangulate_image(self, options: TriangulatorOptions, image_id: int) -> int:
@@ -125,27 +112,25 @@ class IncrementalTriangulator:
             uvs.append(self._normalized(iid, fidx))
             centers.append(im.projection_center())
         T = len(views)
-        X = np.asarray(
-            solvers.triangulate_multiview(
-                jnp.asarray(np.stack(qs)),
-                jnp.asarray(np.stack(ts)),
-                jnp.asarray(np.stack(uvs, dtype=np.float32)),
-                jnp.ones(T, jnp.float32),
-            )
-        )
+        # host-side multiview DLT (numpy SVD on a [2T,4] matrix — far cheaper
+        # than an eager device roundtrip per candidate point)
+        Rt = [np.concatenate([np_geom.quat_to_rotmat(q), t[:, None]], axis=1) for q, t in zip(qs, ts)]
+        rows = []
+        for P, uv in zip(Rt, uvs):
+            rows.append(uv[0] * P[2] - P[0])
+            rows.append(uv[1] * P[2] - P[1])
+        A = np.stack(rows)
+        _, _, vt = np.linalg.svd(A)
+        Xh = vt[-1]
+        w = Xh[3] if abs(Xh[3]) > 1e-12 else 1e-12
+        X = Xh[:3] / w
         if not np.isfinite(X).all():
             return 0
         # triangulation angle gate: max pairwise angle must exceed min_angle
         max_ang = 0.0
         for a in range(T):
             for b in range(a + 1, T):
-                ang = float(
-                    solvers.triangulation_angle(
-                        jnp.asarray(centers[a], jnp.float32),
-                        jnp.asarray(centers[b], jnp.float32),
-                        jnp.asarray(X, jnp.float32),
-                    )
-                )
+                ang = float(np_geom.triangulation_angle(centers[a], centers[b], X))
                 max_ang = max(max_ang, ang)
         if max_ang < np.deg2rad(options.min_angle):
             return 0

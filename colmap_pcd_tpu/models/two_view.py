@@ -74,20 +74,19 @@ def estimate_two_view_geometry(
     out = TwoViewGeometry()
     if N < 8:
         return out
+    from ..ops import np_geom
+
     valid = jnp.ones((N,), jnp.float32)
     uv1j = jnp.asarray(uv1, jnp.float32)
     uv2j = jnp.asarray(uv2, jnp.float32)
-    # normalized coords for E
-    n1 = cm.image_to_world(model_id1, jnp.asarray(params1, jnp.float32), uv1j)
-    n2 = cm.image_to_world(model_id2, jnp.asarray(params2, jnp.float32), uv2j)
-    f_mean = float(
-        np.mean(
-            [
-                np.mean(np.asarray(cm.focal_pp(jnp.asarray(params1), model_id1)[:2])),
-                np.mean(np.asarray(cm.focal_pp(jnp.asarray(params2), model_id2)[:2])),
-            ]
-        )
-    )
+    # normalized coords for E (host-side undistortion: no device round-trips)
+    n1 = jnp.asarray(np_geom.image_to_world(model_id1, params1, uv1), jnp.float32)
+    n2 = jnp.asarray(np_geom.image_to_world(model_id2, params2, uv2), jnp.float32)
+    p1 = np.asarray(params1)
+    p2 = np.asarray(params2)
+    fi1 = cm._FOCAL_IDX[model_id1]
+    fi2 = cm._FOCAL_IDX[model_id2]
+    f_mean = float(np.mean([p1[fi1[0]], p1[fi1[1]], p2[fi2[0]], p2[fi2[1]]]))
 
     key = jax.random.PRNGKey(seed)
     k1, k2, k3 = jax.random.split(key, 3)

@@ -62,19 +62,16 @@ def make_world(
     X = map_pts[sel].astype(np.float64)
 
     # trajectory: forward along z with small lateral/yaw wiggle
+    from colmap_pcd_tpu.ops import np_geom
+
     gt = []
     for i in range(n_images):
         c = np.asarray([0.4 * np.sin(i * 0.5), 0.2 * np.cos(i * 0.3), i * step])
         yaw = yaw_wiggle * np.sin(i * 0.7)
-        q_wc = np.asarray(
-            se3.euler_zyx_to_quat(
-                jnp.asarray(0.0, jnp.float32),
-                jnp.asarray(yaw, jnp.float32),
-                jnp.asarray(0.0, jnp.float32),
-            )
-        )
-        q_cw = np.asarray(se3.quat_conj(jnp.asarray(q_wc)))
-        R_cw = np.asarray(se3.quat_to_rotmat(jnp.asarray(q_cw, jnp.float32)), np.float64)
+        # yaw about the camera y axis
+        q_wc = np.asarray([np.cos(yaw / 2), 0.0, np.sin(yaw / 2), 0.0])
+        q_cw = np_geom.quat_conj(q_wc)
+        R_cw = np_geom.quat_to_rotmat(q_cw)
         t_cw = -R_cw @ c
         gt.append((q_cw.astype(np.float64), t_cw))
 
@@ -87,13 +84,10 @@ def make_world(
 
     # project all points into all images; record visibility + keypoints
     feat_of_point = {}  # image_id -> {point_idx: feat_idx}
+    from colmap_pcd_tpu.ops import np_geom
+
     for i, (q, t) in enumerate(gt, start=1):
-        xy, z = cm.project(
-            PINHOLE, padded, jnp.asarray(q, jnp.float32), jnp.asarray(t, jnp.float32),
-            jnp.asarray(X, jnp.float32),
-        )
-        xy = np.asarray(xy)
-        z = np.asarray(z)
+        xy, z = np_geom.project(PINHOLE, np.asarray(padded), q, t, X)
         vis = (
             (z > 2.0) & (z < 25.0)
             & (xy[:, 0] > 5) & (xy[:, 0] < width - 5)
@@ -128,9 +122,9 @@ def ate_rmse(rec: Reconstruction, gt) -> float:
         if img is None or not img.registered:
             continue
         c_est = img.projection_center()
-        c_gt = np.asarray(
-            se3.projection_center(jnp.asarray(q, jnp.float32), jnp.asarray(t, jnp.float32))
-        )
+        from colmap_pcd_tpu.ops import np_geom
+
+        c_gt = np_geom.projection_center(q, t)
         errs.append(np.sum((c_est - c_gt) ** 2))
     if not errs:
         return np.inf
