@@ -406,6 +406,139 @@ def cmd_model_aligner(argv):
     return 0
 
 
+def _paths(argv, *names):
+    out = {n: None for n in names}
+    it = iter(argv)
+    for a in it:
+        key = a[2:] if a.startswith("--") else None
+        if key in out:
+            out[key] = next(it)
+    return out
+
+
+def cmd_model_merger(argv):
+    p = _paths(argv, "input_path1", "input_path2", "output_path")
+    from .models.model_tools import merge_models
+    from .models.reconstruction import Reconstruction
+
+    r1 = Reconstruction.read(p["input_path1"])
+    r2 = Reconstruction.read(p["input_path2"])
+    out = merge_models(r1, r2)
+    if out is None:
+        print("Merge failed: not enough common registered images")
+        return 1
+    out.write(p["output_path"])
+    print(f"Merged: {out.num_reg_images} images, {len(out.points3D)} points")
+    return 0
+
+
+def cmd_model_cropper(argv):
+    p = _paths(argv, "input_path", "output_path", "boundary")
+    from .models.model_tools import crop_model
+    from .models.reconstruction import Reconstruction
+
+    vals = [float(x) for x in p["boundary"].split(",")]
+    rec = crop_model(Reconstruction.read(p["input_path"]), vals[:3], vals[3:6])
+    rec.write(p["output_path"])
+    print(f"Cropped: {rec.num_reg_images} images, {len(rec.points3D)} points")
+    return 0
+
+
+def cmd_model_splitter(argv):
+    p = _paths(argv, "input_path", "output_path", "num_parts", "axis", "overlap")
+    from .models.model_tools import split_model
+    from .models.reconstruction import Reconstruction
+
+    parts = split_model(
+        Reconstruction.read(p["input_path"]),
+        int(p["num_parts"] or 2),
+        int(p["axis"] or 0),
+        float(p["overlap"] or 0.0),
+    )
+    for k, r in enumerate(parts):
+        r.write(os.path.join(p["output_path"], str(k)))
+    print(f"Split into {len(parts)} parts")
+    return 0
+
+
+def cmd_model_orientation_aligner(argv):
+    p = _paths(argv, "input_path", "output_path")
+    from .models.model_tools import align_to_principal_axes
+    from .models.reconstruction import Reconstruction
+
+    rec = align_to_principal_axes(Reconstruction.read(p["input_path"]))
+    rec.write(p["output_path"])
+    print("Aligned model orientation")
+    return 0
+
+
+def cmd_model_comparer(argv):
+    p = _paths(argv, "input_path1", "input_path2")
+    from .models.model_tools import compare_models
+    from .models.reconstruction import Reconstruction
+
+    stats = compare_models(
+        Reconstruction.read(p["input_path1"]), Reconstruction.read(p["input_path2"])
+    )
+    for k, v in stats.items():
+        print(f"{k}: {v}")
+    return 0
+
+
+def cmd_database_cleaner(argv):
+    p = _paths(argv, "database_path", "type")
+    from .models.database import Database
+
+    db = Database(p["database_path"])
+    t = (p["type"] or "all").lower()
+    if t in ("all", "matches"):
+        db.conn.execute("DELETE FROM matches")
+        db.conn.execute("DELETE FROM two_view_geometries")
+    if t in ("all", "features"):
+        db.conn.execute("DELETE FROM keypoints")
+        db.conn.execute("DELETE FROM descriptors")
+    if t == "all":
+        db.conn.execute("DELETE FROM images")
+        db.conn.execute("DELETE FROM cameras")
+    db.commit()
+    db.close()
+    print(f"Cleaned {t}")
+    return 0
+
+
+def cmd_database_merger(argv):
+    p = _paths(argv, "database_path1", "database_path2", "merged_database_path")
+    from .models.database import Database
+
+    out = Database(p["merged_database_path"])
+    id_maps = []
+    for src_path in (p["database_path1"], p["database_path2"]):
+        src = Database(src_path)
+        cam_map = {}
+        for cid, c in src.cameras().items():
+            cam_map[cid] = out.add_camera(
+                c["model_id"], c["width"], c["height"], c["params"], c["prior_focal"]
+            )
+        img_map = {}
+        for iid, im in src.images().items():
+            img_map[iid] = out.add_image(im["name"], cam_map[im["camera_id"]])
+            out.write_keypoints(img_map[iid], src.read_keypoints(iid))
+            out.write_descriptors(img_map[iid], src.read_descriptors(iid))
+        for i, j in src.all_two_view_pair_ids():
+            g = src.read_two_view_geometry(i, j)
+            out.write_matches(img_map[i], img_map[j], src.read_matches(i, j))
+            out.write_two_view_geometry(
+                img_map[i], img_map[j], g["inlier_matches"], g["config"],
+                F=g["F"], E=g["E"], H=g["H"],
+            )
+        src.close()
+        id_maps.append(img_map)
+    out.commit()
+    out.close()
+    print("Merged databases")
+    return 0
+
+
 def cmd_image_undistorter(argv):
     image_path = input_path = output_path = None
     it = iter(argv)
@@ -522,6 +655,13 @@ COMMANDS = {
     "model_analyzer": cmd_model_analyzer,
     "model_transformer": cmd_model_transformer,
     "model_aligner": cmd_model_aligner,
+    "model_merger": cmd_model_merger,
+    "model_cropper": cmd_model_cropper,
+    "model_splitter": cmd_model_splitter,
+    "model_orientation_aligner": cmd_model_orientation_aligner,
+    "model_comparer": cmd_model_comparer,
+    "database_cleaner": cmd_database_cleaner,
+    "database_merger": cmd_database_merger,
     "image_undistorter": cmd_image_undistorter,
     "patch_match_stereo": cmd_patch_match_stereo,
     "stereo_fusion": cmd_stereo_fusion,
