@@ -120,15 +120,21 @@ class LidarMap:
 
         Returns (cand_idx [B] int64, valid [B] f32) where B is the padded budget.
         """
-        fx, fy, cx, cy = (float(x) for x in np.asarray(cm.focal_pp(jnp.asarray(params), model_id)))
-        planes = pc_ops.frustum_planes(
-            jnp.asarray(q), jnp.asarray(t), fx, fy, cx, cy, width, height, self.opts.choose_meter
+        from ..ops import np_geom
+
+        pp = np.asarray(params)
+        fi, fj, ci, cj = cm._FOCAL_IDX[model_id]
+        planes = np_geom.frustum_planes(
+            np.asarray(q, np.float64), np.asarray(t, np.float64),
+            pp[fi], pp[fj], pp[ci], pp[cj], width, height, self.opts.choose_meter,
         )
         # cell centers inside the frustum, with one-cell dilation via a radius
-        # slack on the plane test (covers the reference's +-1-cell sweep)
+        # slack on the plane test (covers the reference's +-1-cell sweep);
+        # host numpy: a few Mflop over the cell table, no device round-trips
         slack = self.cell_size * np.sqrt(3.0) * 0.5
-        vals = self.d_cell_centers @ planes[:, :3].T + planes[None, :, 3]
-        mask = np.asarray(jnp.all(vals <= slack, axis=-1))
+        centers = self.cell_keys.astype(np.float64) * self.cell_size
+        vals = centers @ planes[:, :3].T + planes[None, :, 3]
+        mask = np.all(vals <= slack, axis=-1)
         sel = np.nonzero(mask)[0]
         if sel.size == 0:
             idx = np.zeros(0, np.int64)

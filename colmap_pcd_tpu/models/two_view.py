@@ -124,23 +124,31 @@ def estimate_two_view_geometry(
     out.config = config
 
     if opts.compute_relative_pose and config == CALIBRATED:
-        mask = jnp.asarray(best_mask.astype(np.float32))
-        q, t = solvers.decompose_essential(jnp.asarray(out.E), n1, n2, mask)
+        q, t, ang, z1, z2 = _pose_recovery(
+            jnp.asarray(out.E, jnp.float32), n1, n2,
+            jnp.asarray(best_mask.astype(np.float32)),
+        )
         out.qvec = np.asarray(q)
         out.tvec = np.asarray(t)
-        # median triangulation angle over inliers (two_view_geometry.cc
-        # EstimateCalibrated tail; gates init pairs in the mapper)
-        P1 = solvers.proj_matrix(jnp.asarray([1.0, 0, 0, 0], jnp.float32), jnp.zeros(3))
-        P2 = solvers.proj_matrix(q, t)
-        X = solvers.triangulate_dlt(
-            jnp.broadcast_to(P1, (N, 3, 4)), jnp.broadcast_to(P2, (N, 3, 4)), n1, n2
-        )
-        c1 = jnp.zeros(3)
-        c2 = se3.projection_center(q, t)
-        ang = np.asarray(solvers.triangulation_angle(c1, c2, X))
-        z1 = np.asarray(X[:, 2])
-        z2 = np.asarray(se3.se3_apply(q, t, X)[:, 2])
+        ang, z1, z2 = np.asarray(ang), np.asarray(z1), np.asarray(z2)
         ok = best_mask & (z1 > 0) & (z2 > 0)
         if ok.sum() > 0:
             out.tri_angle = float(np.median(ang[ok]))
     return out
+
+
+@jax.jit
+def _pose_recovery(E, n1, n2, mask):
+    """Pose from E + per-match triangulation angles, one compiled program
+    (median tri angle gates init pairs, two_view_geometry.cc tail)."""
+    N = n1.shape[0]
+    q, t = solvers.decompose_essential(E, n1, n2, mask)
+    P1 = solvers.proj_matrix(jnp.asarray([1.0, 0, 0, 0], jnp.float32), jnp.zeros(3))
+    P2 = solvers.proj_matrix(q, t)
+    X = solvers.triangulate_dlt(
+        jnp.broadcast_to(P1, (N, 3, 4)), jnp.broadcast_to(P2, (N, 3, 4)), n1, n2
+    )
+    c2 = se3.projection_center(q, t)
+    ang = solvers.triangulation_angle(jnp.zeros(3), c2, X)
+    z2 = se3.se3_apply(q, t, X)[:, 2]
+    return q, t, ang, X[:, 2], z2
