@@ -287,9 +287,7 @@ class IncrementalMapper:
             cam1.width,
             cam1.height,
         )
-        planes = np.asarray(
-            pc_ops.plane_through(jnp.asarray(out["lidar_pt"]), jnp.asarray(out["lidar_nrm"]))
-        )
+        planes = np_geom.plane_through(out["lidar_pt"], out["lidar_nrm"]).astype(np.float32)
         X, ok = pc_ops.ray_plane_points(
             jnp.asarray(feat_xy),
             jnp.asarray(planes),
@@ -377,17 +375,23 @@ class IncrementalMapper:
         self.rec.register_image(image_id2)
         # triangulate inliers
         rows = g.inlier_matches[:, 0]
-        n1 = np.asarray(cm.image_to_world(cam1.model_id, jnp.asarray(cam1.padded_params()), jnp.asarray(img1.xys[matches[rows, 0]], jnp.float32)))
-        n2 = np.asarray(cm.image_to_world(cam2.model_id, jnp.asarray(cam2.padded_params()), jnp.asarray(img2.xys[matches[rows, 1]], jnp.float32)))
-        P1 = solvers.proj_matrix(jnp.asarray(img1.qvec, jnp.float32), jnp.asarray(img1.tvec, jnp.float32))
-        P2 = solvers.proj_matrix(jnp.asarray(img2.qvec, jnp.float32), jnp.asarray(img2.tvec, jnp.float32))
+        n1 = np_geom.image_to_world(cam1.model_id, cam1.padded_params(), img1.xys[matches[rows, 0]])
+        n2 = np_geom.image_to_world(cam2.model_id, cam2.padded_params(), img2.xys[matches[rows, 1]])
+        P1 = np.concatenate([np_geom.quat_to_rotmat(img1.qvec), np.asarray(img1.tvec)[:, None]], axis=1)
+        P2 = np.concatenate([np_geom.quat_to_rotmat(img2.qvec), np.asarray(img2.tvec)[:, None]], axis=1)
         N = len(rows)
-        X = np.asarray(solvers.triangulate_dlt(
-            jnp.broadcast_to(P1, (N, 3, 4)), jnp.broadcast_to(P2, (N, 3, 4)),
-            jnp.asarray(n1), jnp.asarray(n2),
-        ))
+        rows4 = np.stack([
+            n1[:, 0, None] * P1[2] - P1[0],
+            n1[:, 1, None] * P1[2] - P1[1],
+            n2[:, 0, None] * P2[2] - P2[0],
+            n2[:, 1, None] * P2[2] - P2[1],
+        ], axis=1)  # [N,4,4]
+        _, _, vt = np.linalg.svd(rows4)
+        Xh = vt[:, 3, :]
+        w = np.where(np.abs(Xh[:, 3]) < 1e-12, 1e-12, Xh[:, 3])
+        X = Xh[:, :3] / w[:, None]
         z1 = X[:, 2]  # cam1 at identity
-        X2c = np.asarray(se3.se3_apply(jnp.asarray(img2.qvec, jnp.float32), jnp.asarray(img2.tvec, jnp.float32), jnp.asarray(X, jnp.float32)))
+        X2c = np_geom.se3_apply(img2.qvec, img2.tvec, X)
         good = (z1 > 0) & (X2c[:, 2] > 0) & np.isfinite(X).all(axis=1)
         for k in np.nonzero(good)[0]:
             f1, f2 = int(matches[rows[k], 0]), int(matches[rows[k], 1])
