@@ -78,6 +78,85 @@ def cmd_vocab_tree_matcher(argv):
     return 0
 
 
+def cmd_spatial_matcher(argv):
+    """GPS/position-prior neighbor matching. Locations come either from a
+    text file (--location_path: 'name lat lon alt' or 'name x y z') or a
+    pose.ply prior (--Mapper.image_pose_prior_path)."""
+    location_path = None
+    is_gps = False
+    filtered = []
+    it = iter(argv)
+    for a in it:
+        if a == "--location_path":
+            location_path = next(it)
+        elif a == "--SpatialMatching.is_gps":
+            is_gps = next(it).lower() in ("1", "true")
+        else:
+            filtered.append(a)
+    om, _ = _opt(filtered)
+    from .models.database import Database
+    from .models.feature_pipeline import run_spatial_matcher
+
+    db = Database(om.database_path)
+    by_name = {v["name"]: k for k, v in db.images().items()}
+    db.close()
+    locations = {}
+    rows = []
+    with open(location_path) as f:
+        for line in f:
+            tok = line.split()
+            if len(tok) >= 4 and tok[0] in by_name:
+                rows.append((by_name[tok[0]], [float(x) for x in tok[1:4]]))
+    if is_gps and rows:
+        from .utils.gps import lla_to_enu
+
+        lat0, lon0, alt0 = rows[0][1]
+        for iid, (lat, lon, alt) in rows:
+            locations[iid] = lla_to_enu(lat, lon, alt, lat0, lon0, alt0)
+    else:
+        for iid, xyz in rows:
+            locations[iid] = np.asarray(xyz)
+    n = run_spatial_matcher(om.database_path, locations, om.sift_matching)
+    print(f"Verified {n} spatial pairs")
+    return 0
+
+
+def cmd_vocab_tree_builder(argv):
+    """Build and save a retrieval vocabulary (VLAD kmeans centroids) from the
+    database's descriptors (RunVocabTreeBuilder analog)."""
+    p = _paths(argv, "database_path", "vocab_tree_path")
+    import jax
+
+    from .models.database import Database
+    from .ops import retrieval
+
+    db = Database(p["database_path"])
+    descs = {i: db.read_descriptors(i).astype(np.float32) for i in db.images()}
+    db.close()
+    index = retrieval.build_index(descs)
+    np.savez(p["vocab_tree_path"], centroids=index.centroids)
+    print(f"Saved vocabulary ({index.centroids.shape[0]} words) to {p['vocab_tree_path']}")
+    return 0
+
+
+def cmd_vocab_tree_retriever(argv):
+    """Rank database images against each query image (RunVocabTreeRetriever)."""
+    p = _paths(argv, "database_path", "num_images")
+    from .models.database import Database
+    from .ops import retrieval
+
+    db = Database(p["database_path"])
+    descs = {i: db.read_descriptors(i).astype(np.float32) for i in db.images()}
+    names = {i: v["name"] for i, v in db.images().items()}
+    db.close()
+    index = retrieval.build_index(descs)
+    k = int(p["num_images"] or 10)
+    for i in sorted(descs):
+        ranked = retrieval.query(index, i, k)
+        print(f"{names[i]}: " + ", ".join(names[j] for j in ranked))
+    return 0
+
+
 def cmd_matches_importer(argv):
     match_list = None
     it = iter(argv)
@@ -647,6 +726,9 @@ COMMANDS = {
     "sequential_matcher": cmd_sequential_matcher,
     "transitive_matcher": cmd_transitive_matcher,
     "vocab_tree_matcher": cmd_vocab_tree_matcher,
+    "spatial_matcher": cmd_spatial_matcher,
+    "vocab_tree_builder": cmd_vocab_tree_builder,
+    "vocab_tree_retriever": cmd_vocab_tree_retriever,
     "matches_importer": cmd_matches_importer,
     "mapper": cmd_mapper,
     "point_triangulator": cmd_point_triangulator,
