@@ -59,7 +59,7 @@ def main():
         num_ransac_hypotheses=2048,
     )
     ctl = IncrementalMapperController(
-        rec, graph, opts, ControllerOptions(verbose=False),
+        rec, graph, opts, ControllerOptions(verbose=True),
         lidar_map=lmap, pose_priors={1: gt[0]},
     )
 

@@ -82,7 +82,9 @@ class IncrementalMapperController:
 
     def _log(self, msg: str):
         if self.copts.verbose:
-            print(f"[mapper] {msg}", flush=True)
+            import sys
+
+            print(f"[mapper] {msg}", file=sys.stderr, flush=True)
 
     # ------------------------------------------------------------------
     def initialize(self) -> bool:
