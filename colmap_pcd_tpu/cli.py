@@ -8,7 +8,6 @@ CUDA-specific toggles) print an explanation instead of failing cryptically.
 
 from __future__ import annotations
 
-import json
 import os
 import sys
 

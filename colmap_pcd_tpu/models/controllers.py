@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import os
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -237,10 +237,7 @@ class BundleAdjustmentController:
         self.refine_intrinsics = refine_intrinsics
 
     def run(self) -> bool:
-        import jax.numpy as jnp
 
-        from ..ops import ba as ba_ops
-        from ..ops import pointcloud as pc_ops
         from .incremental_mapper import IncrementalMapper
 
         opts = self.opts
@@ -282,6 +279,7 @@ class BundleAdjustmentController:
             tvec_fixed,
             max_iterations=opts.ba_global_max_num_iterations * 2,
             lidar_assocs=rec.lidar_points,
+            refine_intrinsics=self.refine_intrinsics,
         )
         rec.update_point_errors()
         return True

@@ -30,18 +30,16 @@ compiled programs regardless of scene growth.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..ops import ba as ba_ops
-from ..ops import camera_models as cm
 from ..ops import pointcloud as pc_ops
 from ..ops import np_geom
 from ..ops import ransac as ransac_ops
-from ..ops import se3, solvers
 from .correspondence_graph import CorrespondenceGraph
 from .lidar_map import LidarMap
 from .reconstruction import (
@@ -49,7 +47,6 @@ from .reconstruction import (
     LIDAR_ICP,
     LIDAR_ICP_GROUND,
     LIDAR_PROJ,
-    Image,
     LidarAssoc,
     Reconstruction,
 )
@@ -736,6 +733,10 @@ class IncrementalMapper:
         tvec_fixed: dict[int, list[int]],
         max_iterations: int,
         lidar_assocs: dict[int, LidarAssoc],
+        refine_intrinsics: bool = False,
+        refine_focal: bool = True,
+        refine_principal: bool = False,
+        refine_extra: bool = True,
     ):
         """Build the padded BAProblem and run the device solve, then write
         results back into the reconstruction."""
@@ -843,6 +844,10 @@ class IncrementalMapper:
             loss_type=opts.loss_type,
             loss_scale=opts.loss_scale,
             max_iterations=max_iterations,
+            refine_intrinsics=refine_intrinsics,
+            refine_focal=refine_focal,
+            refine_principal=refine_principal,
+            refine_extra=refine_extra,
         )
         out = ba_ops.solve(prob, cfg)
         if not np.isfinite(float(out.final_cost)) or float(out.final_cost) > float(out.initial_cost):
@@ -853,6 +858,15 @@ class IncrementalMapper:
             if iid not in pose_fixed_ids:
                 rec.images[iid].qvec = q_out[k]
                 rec.images[iid].tvec = t_out[k]
+        if refine_intrinsics:
+            # single shared-intrinsics slot (K=1): write back the refined
+            # params to every camera in the problem (final batch BA with
+            # intrinsics refinement — BASELINE config 4)
+            new_params = np.asarray(out.intr, np.float64)[0]
+            for iid in img_slot:
+                cam = rec.cameras[rec.images[iid].camera_id]
+                n = len(cam.params)
+                cam.params = new_params[:n].copy()
         p_out = np.asarray(out.points, np.float64)
         for s, pid in slot_pid.items():
             if point_fixed[s] == 0.0 and pid in rec.points3D:

@@ -18,7 +18,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..io import ply as ply_io
-from ..ops import se3 as se3_ops
 from ..ops import stereo as stereo_ops
 from ..utils import image as image_utils
 from .reconstruction import Reconstruction

@@ -278,9 +278,6 @@ class Reconstruction:
         observations of the candidate set in one device call."""
         import jax.numpy as jnp
 
-        from ..ops import camera_models as cmm
-        from ..ops import solvers
-
         ids = list(self.points3D.keys()) if point_ids is None else [
             i for i in point_ids if i in self.points3D
         ]

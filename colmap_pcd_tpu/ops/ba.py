@@ -356,13 +356,32 @@ def _gn_system(problem: BAProblem, cfg: BAConfig, cam_q, cam_t, intr, points, la
     b = jnp.zeros((D,), jnp.float32)
 
     i6 = jnp.arange(6)
+    # Assembly strategy: XLA scatter-with-duplicates compiles (and runs) as a
+    # serialized sort pass — poison for both compile time and MXU utilization.
+    # When the number of block pairs nb^2 is small (local BA: nb<=16 -> 256),
+    # accumulate via a one-hot segment matmul instead: [M, nb^2]^T @ [M, 36]
+    # is pure MXU work with zero scatters. Large global problems keep scatter.
+    use_onehot = nb * nb <= 4096
 
     def scatter_block(S, rows_blk, cols_blk, vals):
-        """Scatter-add [M,6,6] blocks at block coords (rows_blk, cols_blk)."""
+        """Accumulate [M,6,6] blocks at block coords (rows_blk, cols_blk)."""
         M = vals.shape[0]
+        if use_onehot:
+            flat = rows_blk * nb + cols_blk  # [M]
+            onehot = jax.nn.one_hot(flat, nb * nb, dtype=vals.dtype)  # [M, nb^2]
+            acc = jnp.einsum("mk,mij->kij", onehot, vals)  # [nb^2,6,6]
+            acc = acc.reshape(nb, nb, 6, 6).transpose(0, 2, 1, 3).reshape(D, D)
+            return S + acc
         ridx = rows_blk[:, None, None] * 6 + i6[None, :, None]
         cidx = cols_blk[:, None, None] * 6 + i6[None, None, :]
         return S.at[ridx, cidx].add(vals)
+
+    def scatter_rhs(b, blk_ids, vals6):
+        """Accumulate [M,6] row vectors at 6-block ids."""
+        if use_onehot:
+            onehot = jax.nn.one_hot(blk_ids, nb, dtype=vals6.dtype)  # [M, nb]
+            return b + jnp.einsum("mk,mi->ki", onehot, vals6).reshape(D)
+        return b.at[blk_ids[:, None] * 6 + i6[None, :]].add(vals6)
 
     # camera-side JtJ: for each obs, roles x roles block outer products.
     if cfg.refine_intrinsics:
@@ -381,7 +400,7 @@ def _gn_system(problem: BAProblem, cfg: BAConfig, cam_q, cam_t, intr, points, la
         S = scatter_block(S, blk, blk, JtJ)
 
     Jtr = jnp.einsum("mri,mr->mi", Jcam, r3)  # [3N or N, 6]
-    b = b.at[blk[:, None] * 6 + i6[None, :]].add(-Jtr)
+    b = scatter_rhs(b, blk, -Jtr)
 
     # coupling W per camera-side entry: W_m = Jcam_m^T Jp_m  [6,3]
     W = jnp.einsum("mri,mrj->mij", Jcam, Jp3)  # [M_ent,6,3]
@@ -432,7 +451,7 @@ def _gn_system(problem: BAProblem, cfg: BAConfig, cam_q, cam_t, intr, points, la
 
         # rhs reduction: b -= Y_a b_p
         yb = jnp.einsum("ctik,ck->cti", Y, bp).reshape(csize * Tn, 6)
-        b = b.at[blkg.reshape(-1)[:, None] * 6 + i6[None, :]].add(-yb)
+        b = scatter_rhs(b, blkg.reshape(-1), -yb)
         return (S, b), None
 
     (S, b), _ = jax.lax.scan(

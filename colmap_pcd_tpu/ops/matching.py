@@ -18,8 +18,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from . import solvers
-
 Array = jax.Array
 
 

@@ -30,9 +30,6 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
-from . import se3
 
 Array = jax.Array
 

@@ -12,7 +12,6 @@ keep their names so existing project.ini files carry over.
 from __future__ import annotations
 
 import configparser
-import dataclasses
 from dataclasses import dataclass, field, fields
 from typing import Any
 
