@@ -230,11 +230,13 @@ class BundleAdjustmentController:
         mapper_options: MapperOptions = None,
         lidar_map: LidarMap | None = None,
         refine_intrinsics: bool = False,
+        refine_extrinsics: bool = True,
     ):
         self.rec = rec
         self.opts = mapper_options or MapperOptions()
         self.lidar_map = lidar_map
         self.refine_intrinsics = refine_intrinsics
+        self.refine_extrinsics = refine_extrinsics
 
     def run(self) -> bool:
 
@@ -266,7 +268,11 @@ class BundleAdjustmentController:
 
         pose_fixed: set[int] = set()
         tvec_fixed: dict[int, list[int]] = {}
-        if not (self.lidar_map is not None and opts.if_add_lidar_constraint):
+        if not self.refine_extrinsics:
+            # BundleAdjustmentOptions.refine_extrinsics=false: freeze all
+            # poses (calibration-only refinement)
+            pose_fixed = set(rec.registered_ids)
+        elif not (self.lidar_map is not None and opts.if_add_lidar_constraint):
             reg = rec.registered_ids
             pose_fixed = {reg[0]}
             tvec_fixed = {reg[1]: [0]}
