@@ -16,6 +16,10 @@ import os
 import time
 from dataclasses import dataclass
 
+from ..utils.logging_utils import PhaseTimer
+
+PHASES = PhaseTimer()  # process-global phase accounting (report via PHASES.report())
+
 import numpy as np
 
 from .correspondence_graph import CorrespondenceGraph
@@ -183,12 +187,17 @@ class IncrementalMapperController:
                     f"({self.rec.num_reg_images + 1}) "
                     f"[{self.rec.num_reg_images / max(time.time() - t0, 1e-9):.2f} reg/s]"
                 )
-                if self.mapper.register_next_image(opts, image_id):
+                with PHASES.phase("register_next_image"):
+                    reg_ok = self.mapper.register_next_image(opts, image_id)
+                if reg_ok:
                     self.mapper.clear_lidar_points()
-                    self.mapper.triangulator.triangulate_image(topts, image_id)
-                    self.iterative_local_refinement(image_id)
+                    with PHASES.phase("triangulate_image"):
+                        self.mapper.triangulator.triangulate_image(topts, image_id)
+                    with PHASES.phase("local_refinement"):
+                        self.iterative_local_refinement(image_id)
                     if self._check_global_refinement():
-                        self.iterative_global_refinement()
+                        with PHASES.phase("global_refinement"):
+                            self.iterative_global_refinement()
                     if (
                         self.copts.snapshot_path
                         and self.copts.snapshot_images_freq > 0

@@ -302,7 +302,7 @@ class IncrementalMapper:
         # PnP for image2 on the lidar-depth points
         uv2 = img2.xys[matches[sel, 1]].astype(np.float32)
         n2 = np_geom.image_to_world(cam2.model_id, cam2.padded_params(), uv2).astype(np.float32)
-        npad = _bucket(sel.size, 1024)
+        npad = _bucket(sel.size, 2048)
         uvp = np.zeros((npad, 2), np.float32)
         Xp = np.zeros((npad, 3), np.float32)
         vp = np.zeros(npad, np.float32)
@@ -465,7 +465,7 @@ class IncrementalMapper:
         uv = np.asarray(tri_uv, np.float32)
         X = np.asarray(tri_X, np.float32)
         nuv = np_geom.image_to_world(cam.model_id, cam.padded_params(), uv).astype(np.float32)
-        npad = _bucket(len(tri_uv), 1024)
+        npad = _bucket(len(tri_uv), 2048)
         uvp = np.zeros((npad, 2), np.float32)
         Xp = np.zeros((npad, 3), np.float32)
         vp = np.zeros(npad, np.float32)
@@ -510,7 +510,7 @@ class IncrementalMapper:
         pids = img.point3D_ids[fidx]
         pts = np.stack([self.rec.points3D[int(p)].xyz for p in pids]).astype(np.float32)
         uv = img.xys[fidx].astype(np.float32)
-        P = _bucket(fidx.size, 1024)
+        P = _bucket(fidx.size, 2048)
         prob = ba_ops.make_problem(
             np.asarray(img.qvec, np.float32)[None],
             np.asarray(img.tvec, np.float32)[None],
@@ -553,6 +553,8 @@ class IncrementalMapper:
     def adjust_local_bundle(
         self, opts: MapperOptions, image_id: int, point3D_ids: set[int]
     ) -> LocalBAReport:
+        from .controllers import PHASES
+
         report = LocalBAReport()
         local_bundle = self.find_local_bundle(opts, image_id)
         if not local_bundle:
@@ -598,8 +600,9 @@ class IncrementalMapper:
         if self.lidar_map is not None and (
             opts.if_add_lidar_constraint or opts.if_add_lidar_corresponding
         ):
-            for pid in proj_pids:
-                self._match_variable_point_to_lidar(pid, image_id, opts)
+            with PHASES.phase("lidar_assoc_proj"):
+                for pid in proj_pids:
+                    self._match_variable_point_to_lidar(pid, image_id, opts)
             ranges = [
                 max(
                     opts.kdtree_max_search_range
@@ -608,17 +611,19 @@ class IncrementalMapper:
                 )
                 for pid in icp_pids
             ]
-            self._match_closest_lidar_points(icp_pids, ranges)
+            with PHASES.phase("lidar_assoc_icp"):
+                self._match_closest_lidar_points(icp_pids, ranges)
 
-        self._solve_ba(
-            opts,
-            bundle_images,
-            set(variable_pids),
-            pose_fixed_ids,
-            tvec_fixed,
-            max_iterations=opts.ba_local_max_num_iterations,
-            lidar_assocs=self.rec.lidar_points if opts.if_add_lidar_constraint else {},
-        )
+        with PHASES.phase("local_ba_solve"):
+            self._solve_ba(
+                opts,
+                bundle_images,
+                set(variable_pids),
+                pose_fixed_ids,
+                tvec_fixed,
+                max_iterations=opts.ba_local_max_num_iterations,
+                lidar_assocs=self.rec.lidar_points if opts.if_add_lidar_constraint else {},
+            )
         report.num_adjusted_observations = sum(
             len(self.rec.points3D[p].track) for p in variable_pids if p in self.rec.points3D
         )
@@ -628,13 +633,15 @@ class IncrementalMapper:
             merge_max_reproj_error=opts.filter_max_reproj_error / 2,
             min_angle=opts.filter_min_tri_angle,
         )
-        report.num_merged_observations = self.triangulator.merge_tracks(tri_opts, variable_pids)
-        report.num_completed_observations = self.triangulator.complete_tracks(tri_opts, variable_pids)
-        report.num_completed_observations += self.triangulator.complete_image(tri_opts, image_id)
+        with PHASES.phase("track_merge_complete"):
+            report.num_merged_observations = self.triangulator.merge_tracks(tri_opts, variable_pids)
+            report.num_completed_observations = self.triangulator.complete_tracks(tri_opts, variable_pids)
+            report.num_completed_observations += self.triangulator.complete_image(tri_opts, image_id)
 
-        report.num_filtered_observations = self.rec.filter_points3D(
-            opts.filter_max_reproj_error, opts.filter_min_tri_angle, list(point3D_ids)
-        )
+        with PHASES.phase("filter_points"):
+            report.num_filtered_observations = self.rec.filter_points3D(
+                opts.filter_max_reproj_error, opts.filter_min_tri_angle, list(point3D_ids)
+            )
         if opts.if_add_lidar_constraint:
             report.num_filtered_observations += self.rec.filter_lidar_outliers(
                 opts.proj_max_dist_error, opts.icp_max_dist_error
@@ -782,8 +789,8 @@ class IncrementalMapper:
             return
 
         C = _bucket(len(img_ids), 16)
-        P = _bucket(len(pids_in_problem), 1024)
-        N = _bucket(len(obs), 4096)
+        P = _bucket(len(pids_in_problem), 2048)
+        N = _bucket(len(obs), 16384)
         # track length bucket
         per_pid_count: dict[int, int] = {}
         for _, pid, _ in obs:
@@ -848,6 +855,9 @@ class IncrementalMapper:
             refine_focal=refine_focal,
             refine_principal=refine_principal,
             refine_extra=refine_extra,
+            # keep the per-chunk pair tensor [chunk, T, T, 6, 6] bounded
+            # (~75 MB) as track-length buckets grow on big scenes
+            point_chunk=max(32, (512 * 256) // (T * T)),
         )
         out = ba_ops.solve(prob, cfg)
         if not np.isfinite(float(out.final_cost)) or float(out.final_cost) > float(out.initial_cost):

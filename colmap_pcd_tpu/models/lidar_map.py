@@ -144,11 +144,18 @@ class LidarMap:
             )
         n = idx.size
         if budget is None:
-            # quantize the padded budget to 4x steps (min 64k) so the number of
-            # distinct compiled depth_project shapes stays tiny — under the
-            # axon tunnel every new shape costs minutes of compilation
-            e = int(np.ceil(np.log2(max(n, 1)) / 2) * 2)
-            budget = max(1 << e, 65536)
+            # one compiled depth_project shape per map: pad to the fixed
+            # per-map budget (next 4x step above the largest cell count the
+            # map could put in a frustum, min 256k) — every new shape costs
+            # minutes of remote compilation under the axon tunnel
+            cap = getattr(self, "_budget_cap", None)
+            if cap is None:
+                e = int(np.ceil(np.log2(max(self.num_points, 1)) / 2) * 2)
+                cap = max(min(1 << e, 1 << 22), 262144)
+                self._budget_cap = cap
+            budget = cap
+            if n > budget:
+                budget = 1 << int(np.ceil(np.log2(n)))
         if n > budget:
             import logging
 
