@@ -158,14 +158,25 @@ def cmd_vocab_tree_retriever(argv):
 
 def cmd_matches_importer(argv):
     match_list = None
+    match_type = "pairs"
     it = iter(argv)
     filtered = []
     for a in it:
         if a == "--match_list_path":
             match_list = next(it)
+        elif a == "--match_type":
+            match_type = next(it)  # pairs | raw | inliers
         else:
             filtered.append(a)
     om, _ = _opt(filtered)
+    if match_type in ("raw", "inliers"):
+        from .models.feature_pipeline import run_feature_pairs_importer
+
+        n = run_feature_pairs_importer(
+            om.database_path, match_list, om.sift_matching, verify=match_type == "raw"
+        )
+        print(f"Imported {n} feature-pair blocks")
+        return 0
     pairs = []
     with open(match_list) as f:
         for line in f:

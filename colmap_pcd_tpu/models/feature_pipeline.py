@@ -27,6 +27,7 @@ import numpy as np
 
 from ..ops import camera_models as cm
 from ..ops import matching as matching_ops
+from ..ops import np_geom
 from ..ops import sift as sift_ops
 from ..utils import image as image_utils
 from ..utils.config import SiftExtractionConfig, SiftMatchingConfig
@@ -175,7 +176,12 @@ class _MatchWorker:
             cross_check=self.cfg.cross_check,
             guided_max_error=self.cfg.max_error,
         )
-        idx, ok = matching_ops.match_descriptors(d1, d2, v1, v2, mopts)
+        if getattr(self.cfg, "use_pallas", False):
+            from ..ops import pallas_kernels
+
+            idx, ok = pallas_kernels.match_descriptors_pallas(d1, d2, v1, v2, mopts)
+        else:
+            idx, ok = matching_ops.match_descriptors(d1, d2, v1, v2, mopts)
         pairs = matching_ops.matches_to_pairs(idx, ok)
         if len(pairs) < self.cfg.min_num_inliers:
             self.db.write_matches(id1, id2, np.zeros((0, 2), np.uint32))
@@ -188,8 +194,8 @@ class _MatchWorker:
         uv2 = kp2[pairs[:, 1], :2]
         g = two_view_mod.estimate_two_view_geometry(
             uv1, uv2,
-            np.asarray(cm.pad_params(cam1["params"][: cm.NUM_PARAMS[cam1["model_id"]]], cam1["model_id"])),
-            np.asarray(cm.pad_params(cam2["params"][: cm.NUM_PARAMS[cam2["model_id"]]], cam2["model_id"])),
+            np_geom.pad_params(cam1["params"][: cm.NUM_PARAMS[cam1["model_id"]]], cam1["model_id"]),
+            np_geom.pad_params(cam2["params"][: cm.NUM_PARAMS[cam2["model_id"]]], cam2["model_id"]),
             cam1["model_id"], cam2["model_id"],
             two_view_mod.TwoViewOptions(
                 max_error=self.cfg.max_error,
@@ -361,6 +367,58 @@ def run_image_pairs_matcher(
             i, j = by_name[n1], by_name[n2]
             if i != j:
                 n += 1 if w.match_pair(min(i, j), max(i, j)) else 0
+    db.close()
+    return n
+
+
+def run_feature_pairs_importer(
+    database_path: str,
+    pairs_file: str,
+    config: SiftMatchingConfig = SiftMatchingConfig(),
+    verify: bool = True,
+) -> int:
+    """Import raw feature-index matches from a text file
+    (FeaturePairsFeatureMatcher, matching.h:538): blocks of
+    'name1 name2' followed by 'idx1 idx2' lines, blank-line separated.
+    With verify=True the imported matches get two-view verification."""
+    db = Database(database_path)
+    by_name = {v["name"]: k for k, v in db.images().items()}
+    w = _MatchWorker(db, config)
+    n = 0
+    with open(pairs_file) as f:
+        blocks = f.read().split("\n\n")
+    for block in blocks:
+        lines = [l for l in block.splitlines() if l.strip()]
+        if not lines:
+            continue
+        n1, n2 = lines[0].split()[:2]
+        if n1 not in by_name or n2 not in by_name:
+            continue
+        id1, id2 = by_name[n1], by_name[n2]
+        m = np.asarray(
+            [[int(a), int(b)] for a, b in (l.split()[:2] for l in lines[1:])],
+            np.uint32,
+        ).reshape(-1, 2)
+        db.write_matches(id1, id2, m)
+        if verify and len(m) >= config.min_num_inliers:
+            kp1, _, _ = w._feats(id1)
+            kp2, _, _ = w._feats(id2)
+            cam1 = w.cameras[w.images[id1]["camera_id"]]
+            cam2 = w.cameras[w.images[id2]["camera_id"]]
+            from ..ops import camera_models as cmm
+
+            g = two_view_mod.estimate_two_view_geometry(
+                kp1[m[:, 0], :2], kp2[m[:, 1], :2],
+                np_geom.pad_params(cam1["params"][: cmm.NUM_PARAMS[cam1["model_id"]]], cam1["model_id"]),
+                np_geom.pad_params(cam2["params"][: cmm.NUM_PARAMS[cam2["model_id"]]], cam2["model_id"]),
+                cam1["model_id"], cam2["model_id"],
+            )
+            inl = m[g.inlier_matches[:, 0]] if len(g.inlier_matches) else np.zeros((0, 2), np.uint32)
+            db.write_two_view_geometry(id1, id2, inl, g.config, F=g.F, E=g.E, H=g.H)
+        else:
+            db.write_two_view_geometry(id1, id2, m, two_view_mod.CALIBRATED)
+        db.commit()
+        n += 1
     db.close()
     return n
 

@@ -42,7 +42,11 @@ class Camera:
         return cm.MODEL_NAMES[self.model_id]
 
     def padded_params(self) -> np.ndarray:
-        return np.asarray(cm.pad_params(self.params, self.model_id))
+        # pure numpy: this is called per-observation in host hot loops, and
+        # cm.pad_params is a jnp op (a device dispatch through the TPU tunnel)
+        p = np.asarray(self.params, np.float32)
+        assert p.shape[-1] == cm.NUM_PARAMS[self.model_id]
+        return np.pad(p, (0, cm.MAX_PARAMS - p.shape[-1]))
 
     def mean_focal_length(self) -> float:
         fi, fj, _, _ = cm._FOCAL_IDX[self.model_id]

@@ -306,3 +306,11 @@ def frustum_planes(q, t, fx, fy, cx, cy, width, height, choose_meter):
             oriented(center, c4, c1),
         ]
     )
+
+
+def pad_params(params, model_id: int):
+    """Numpy twin of camera_models.pad_params."""
+    p = np.asarray(params, np.float32)
+    assert p.shape[-1] == cm.NUM_PARAMS[model_id]
+    pad = [(0, 0)] * (p.ndim - 1) + [(0, cm.MAX_PARAMS - p.shape[-1])]
+    return np.pad(p, pad)

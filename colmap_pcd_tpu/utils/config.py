@@ -36,6 +36,7 @@ class SiftMatchingConfig:
     max_error: float = 4.0
     min_num_inliers: int = 15
     guided_matching: bool = False
+    use_pallas: bool = False  # fused Pallas top-2 matcher (TPU)
 
 
 @dataclass
