@@ -790,7 +790,7 @@ class IncrementalMapper:
 
         C = _bucket(len(img_ids), 16)
         P = _bucket(len(pids_in_problem), 2048)
-        N = _bucket(len(obs), 16384)
+        N = _bucket(len(obs), 8192)
         # track length bucket
         per_pid_count: dict[int, int] = {}
         for _, pid, _ in obs:
