@@ -311,21 +311,35 @@ class Reconstruction:
             if b and pid in self.points3D and (image_id, p2d_idx) in self.points3D[pid].track:
                 self.delete_observation(image_id, p2d_idx)
                 n_del += 1
-        # triangulation-angle filter
+        # triangulation-angle filter — fully vectorized: [P, T, 3] masked
+        # center table, pairwise max cos over each track in one einsum
         min_ang = np.deg2rad(min_tri_angle_deg)
-        for pid in list(ids):
-            p = self.points3D.get(pid)
-            if p is None:
-                continue
-            centers = [self.images[i].projection_center() for i, _ in p.track]
-            max_ang = 0.0
-            for a in range(len(centers)):
-                for b in range(a + 1, len(centers)):
-                    ang = float(np_geom.triangulation_angle(centers[a], centers[b], p.xyz))
-                    max_ang = max(max_ang, ang)
-                if max_ang >= min_ang:
-                    break
-            if max_ang < min_ang:
+        live = [pid for pid in ids if pid in self.points3D]
+        if not live:
+            return n_del
+        centers_cache: dict[int, np.ndarray] = {}
+        for iid in {i for pid in live for i, _ in self.points3D[pid].track}:
+            centers_cache[iid] = self.images[iid].projection_center()
+        T = max(len(self.points3D[pid].track) for pid in live)
+        P_ = len(live)
+        C = np.zeros((P_, max(T, 2), 3))
+        M = np.zeros((P_, max(T, 2)), bool)
+        X = np.zeros((P_, 3))
+        for k, pid in enumerate(live):
+            p = self.points3D[pid]
+            X[k] = p.xyz
+            for t, (iid, _) in enumerate(p.track):
+                C[k, t] = centers_cache[iid]
+                M[k, t] = True
+        V = C - X[:, None, :]
+        Vn = V / np.maximum(np.linalg.norm(V, axis=-1, keepdims=True), 1e-12)
+        cosm = np.einsum("pti,pui->ptu", Vn, Vn)
+        pairmask = M[:, :, None] & M[:, None, :]
+        np.einsum("ptt->pt", cosm)[:] = 1.0  # ignore self-pairs
+        cos_min = np.where(pairmask, cosm, 1.0).min(axis=(1, 2))
+        max_ang = np.arccos(np.clip(cos_min, -1.0, 1.0))
+        for k, pid in enumerate(live):
+            if max_ang[k] < min_ang:
                 self.delete_point3D(pid)
                 n_del += 1
         return n_del

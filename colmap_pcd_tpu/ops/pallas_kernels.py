@@ -40,14 +40,19 @@ def _on_tpu() -> bool:
 
 
 def _match_kernel(d1_ref, d2_ref, best1_ref, best2_ref, idx1_ref):
+    # outputs are whole [N1//TQ, TQ] arrays resident in VMEM (2D keeps the
+    # Mosaic layout aligned with XLA's tiling; 1D f32 outputs fail layout
+    # checks, and (1, TQ) blocks violate the sublane-divisibility rule);
+    # each (i, j) grid step updates row i
+    i = pl.program_id(0)
     j = pl.program_id(1)
     TN = d2_ref.shape[0]
 
     @pl.when(j == 0)
     def _():
-        best1_ref[:] = jnp.full_like(best1_ref, -2.0)
-        best2_ref[:] = jnp.full_like(best2_ref, -2.0)
-        idx1_ref[:] = jnp.zeros_like(idx1_ref)
+        best1_ref[i, :] = jnp.full((best1_ref.shape[1],), -2.0, best1_ref.dtype)
+        best2_ref[i, :] = jnp.full((best2_ref.shape[1],), -2.0, best2_ref.dtype)
+        idx1_ref[i, :] = jnp.zeros((idx1_ref.shape[1],), idx1_ref.dtype)
 
     sim = jnp.dot(d1_ref[:], d2_ref[:].T, preferred_element_type=jnp.float32)  # [TQ,TN]
     m1 = jnp.max(sim, axis=1)
@@ -57,15 +62,15 @@ def _match_kernel(d1_ref, d2_ref, best1_ref, best2_ref, idx1_ref):
     sim2 = jnp.where(cols == a1[:, None], -2.0, sim)
     m2 = jnp.max(sim2, axis=1)
 
-    b1 = best1_ref[:]
-    b2 = best2_ref[:]
-    i1 = idx1_ref[:]
+    b1 = best1_ref[i, :]
+    b2 = best2_ref[i, :]
+    i1 = idx1_ref[i, :]
     new1 = jnp.maximum(b1, m1)
     new2 = jnp.maximum(jnp.minimum(b1, m1), jnp.maximum(b2, m2))
     newi = jnp.where(m1 > b1, j * TN + a1, i1)
-    best1_ref[:] = new1
-    best2_ref[:] = new2
-    idx1_ref[:] = newi
+    best1_ref[i, :] = new1
+    best2_ref[i, :] = new2
+    idx1_ref[i, :] = newi
 
 
 @functools.partial(jax.jit, static_argnames=("tile_q", "tile_n", "interpret"))
@@ -85,7 +90,8 @@ def match_top2(
     N2 = d2.shape[0]
     assert N1 % tile_q == 0 and N2 % tile_n == 0, (N1, N2)
     grid = (N1 // tile_q, N2 // tile_n)
-    return pl.pallas_call(
+    nq = N1 // tile_q
+    b1, b2, i1 = pl.pallas_call(
         _match_kernel,
         grid=grid,
         in_specs=[
@@ -93,17 +99,18 @@ def match_top2(
             pl.BlockSpec((tile_n, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((tile_q,), lambda i, j: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_q,), lambda i, j: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_q,), lambda i, j: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, tile_q), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, tile_q), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, tile_q), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((N1,), jnp.float32),
-            jax.ShapeDtypeStruct((N1,), jnp.float32),
-            jax.ShapeDtypeStruct((N1,), jnp.int32),
+            jax.ShapeDtypeStruct((nq, tile_q), jnp.float32),
+            jax.ShapeDtypeStruct((nq, tile_q), jnp.float32),
+            jax.ShapeDtypeStruct((nq, tile_q), jnp.int32),
         ),
         interpret=interpret,
     )(d1.astype(jnp.float32), d2.astype(jnp.float32))
+    return b1.reshape(N1), b2.reshape(N1), i1.reshape(N1)
 
 
 def match_descriptors_pallas(d1, d2, valid1, valid2, opts=None, interpret=None):
@@ -141,13 +148,14 @@ def match_descriptors_pallas(d1, d2, valid1, valid2, opts=None, interpret=None):
 
 
 def _nn_kernel(q_ref, p_ref, bestd_ref, besti_ref):
+    i = pl.program_id(0)
     j = pl.program_id(1)
     TN = p_ref.shape[0]
 
     @pl.when(j == 0)
     def _():
-        bestd_ref[:] = jnp.full_like(bestd_ref, 1e30)
-        besti_ref[:] = jnp.zeros_like(besti_ref)
+        bestd_ref[i, :] = jnp.full((bestd_ref.shape[1],), 1e30, bestd_ref.dtype)
+        besti_ref[i, :] = jnp.zeros((besti_ref.shape[1],), besti_ref.dtype)
 
     q = q_ref[:]  # [TQ, 8]
     p = p_ref[:]  # [TN, 8]
@@ -157,10 +165,10 @@ def _nn_kernel(q_ref, p_ref, bestd_ref, besti_ref):
     d2 = qn[:, None] + pn[None, :] - 2.0 * cross
     m = jnp.min(d2, axis=1)
     a = jnp.argmin(d2, axis=1).astype(jnp.int32)
-    bd = bestd_ref[:]
+    bd = bestd_ref[i, :]
     upd = m < bd
-    bestd_ref[:] = jnp.where(upd, m, bd)
-    besti_ref[:] = jnp.where(upd, j * TN + a, besti_ref[:])
+    bestd_ref[i, :] = jnp.where(upd, m, bd)
+    besti_ref[i, :] = jnp.where(upd, j * TN + a, besti_ref[i, :])
 
 
 @functools.partial(jax.jit, static_argnames=("tile_q", "tile_n", "interpret"))
@@ -179,6 +187,7 @@ def nn_argmin(
     qp = jnp.pad(queries.astype(jnp.float32), ((0, 0), (0, 5)))
     pp = jnp.pad(points.astype(jnp.float32), ((0, 0), (0, 5)))
     grid = (Q // tile_q, N // tile_n)
+    nq = Q // tile_q
     bestd, besti = pl.pallas_call(
         _nn_kernel,
         grid=grid,
@@ -187,13 +196,13 @@ def nn_argmin(
             pl.BlockSpec((tile_n, 8), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((tile_q,), lambda i, j: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_q,), lambda i, j: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, tile_q), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, tile_q), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((Q,), jnp.float32),
-            jax.ShapeDtypeStruct((Q,), jnp.int32),
+            jax.ShapeDtypeStruct((nq, tile_q), jnp.float32),
+            jax.ShapeDtypeStruct((nq, tile_q), jnp.int32),
         ),
         interpret=interpret,
     )(qp, pp)
-    return besti, jnp.sqrt(jnp.maximum(bestd, 0.0))
+    return besti.reshape(Q), jnp.sqrt(jnp.maximum(bestd.reshape(Q), 0.0))
