@@ -94,7 +94,8 @@ class IncrementalMapperController:
     def initialize(self) -> bool:
         opts = self.opts
         id1, id2 = self.mapper.find_initial_image_pair(opts)
-        if id2 < 0:
+        if id1 < 0 or id2 < 0:
+            self._log("no viable initial image pair (empty database or no matches)")
             return False
         self._log(f"initializing with image pair ({id1}, {id2})")
         if opts.if_add_lidar_constraint and self.mapper.lidar_map is not None:

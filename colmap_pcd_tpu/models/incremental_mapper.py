@@ -405,6 +405,8 @@ class IncrementalMapper:
             self.rec.images.keys(),
             key=lambda i: -self.graph.num_correspondences_for_image(i),
         )
+        if not ids:
+            return -1, -1
         id1 = opts.init_image_id1 if opts.init_image_id1 in self.rec.images else ids[0]
         best2, best_m = -1, -1
         for j in self.rec.images:
