@@ -707,6 +707,7 @@ def cmd_automatic_reconstructor(argv):
         else:
             filtered.append(a)
     om, _ = _opt(filtered)
+    os.makedirs(workspace, exist_ok=True)
     om.database_path = os.path.join(workspace, "database.db")
     om.image_path = image_path
     cmd_feature_extractor(
