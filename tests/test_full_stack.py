@@ -1,0 +1,100 @@
+"""The complete product flow from PIXELS: rendered corridor images -> SIFT ->
+matching -> database -> lidar-constrained incremental mapping -> ATE.
+
+This is the SURVEY §7.2 slice with nothing synthetic about the features:
+real extracted keypoints/descriptors on ray-cast imagery with exact ground
+truth geometry and the exact lidar map of the same world."""
+
+import numpy as np
+import pytest
+
+from colmap_pcd_tpu.models.controllers import ControllerOptions, IncrementalMapperController
+from colmap_pcd_tpu.models.correspondence_graph import CorrespondenceGraph
+from colmap_pcd_tpu.models.database import Database
+from colmap_pcd_tpu.models.feature_pipeline import run_feature_extractor, run_sequential_matcher
+from colmap_pcd_tpu.models.incremental_mapper import MapperOptions
+from colmap_pcd_tpu.models.lidar_map import LidarMap
+from colmap_pcd_tpu.models.reconstruction import Camera, Image, Reconstruction
+from colmap_pcd_tpu.ops import np_geom
+from colmap_pcd_tpu.ops import pointcloud as pc_ops
+from colmap_pcd_tpu.utils.config import SiftExtractionConfig, SiftMatchingConfig
+
+from render import render_corridor
+from synthetic import ate_rmse, build_corridor_map
+
+W, H, F = 640, 480, 500.0
+PINHOLE = 1
+
+
+def make_gt(n_images, step=0.8):
+    gt = []
+    for i in range(n_images):
+        c = np.asarray([0.5 * np.sin(i * 0.6), 0.25 * np.cos(i * 0.4), i * step])
+        yaw = 0.03 * np.sin(i * 0.9)
+        q_wc = np.asarray([np.cos(yaw / 2), 0.0, np.sin(yaw / 2), 0.0])
+        q_cw = np_geom.quat_conj(q_wc)
+        t_cw = -np_geom.quat_to_rotmat(q_cw) @ c
+        gt.append((q_cw, t_cw))
+    return gt
+
+
+@pytest.mark.slow
+def test_full_stack_from_pixels(tmp_path):
+    from PIL import Image as PILImage
+
+    n_images = 6
+    gt = make_gt(n_images)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i, (q, t) in enumerate(gt):
+        im = render_corridor(q, t, W, H, F)
+        PILImage.fromarray((im * 255).astype(np.uint8)).save(img_dir / f"v{i:03d}.png")
+
+    dbp = str(tmp_path / "db.db")
+    n = run_feature_extractor(
+        dbp, str(img_dir),
+        SiftExtractionConfig(max_num_features=2048, first_octave=0, num_octaves=3, max_image_size=640),
+    )
+    assert n == n_images
+    n_pairs = run_sequential_matcher(
+        dbp, SiftMatchingConfig(min_num_inliers=15), overlap=3, quadratic_overlap=False
+    )
+    assert n_pairs >= n_images - 1, n_pairs
+
+    # build mapper inputs from the database (known intrinsics camera)
+    db = Database(dbp)
+    rec = Reconstruction()
+    rec.add_camera(Camera(1, PINHOLE, W, H, np.asarray([F, F, W / 2, H / 2])))
+    for iid, im in sorted(db.images().items()):
+        kp = db.read_keypoints(iid)
+        rec.add_image(Image(iid, im["name"], 1, xys=kp[:, :2].astype(np.float64)))
+    graph = CorrespondenceGraph()
+    for i, j in db.all_two_view_pair_ids():
+        g = db.read_two_view_geometry(i, j)
+        if g is not None and len(g["inlier_matches"]) >= 15:
+            graph.add_matches(i, j, g["inlier_matches"].astype(np.int32))
+    db.close()
+
+    map_pts, map_nrm = build_corridor_map(np.random.default_rng(0), length=n_images * 0.8 + 25)
+    lmap = LidarMap.from_arrays(map_pts, map_nrm, pc_ops.ProjOptions())
+
+    opts = MapperOptions(
+        if_add_lidar_constraint=True,
+        init_image_id1=1, init_image_id2=2,
+        init_min_num_inliers=40,
+        abs_pose_min_num_inliers=12,
+        abs_pose_min_inlier_ratio=0.15,
+        num_ransac_hypotheses=2048,
+        filter_max_reproj_error=6.0,
+    )
+    ctl = IncrementalMapperController(
+        rec, graph, opts, ControllerOptions(verbose=False),
+        lidar_map=lmap, pose_priors={1: gt[0]},
+    )
+    ok = ctl.reconstruct()
+    assert ok
+    assert rec.num_reg_images >= n_images - 1, rec.num_reg_images
+    ate = ate_rmse(rec, gt)
+    # real SIFT features on rendered imagery: decimeter-level is a pass for
+    # 6 frames; the synthetic-correspondence tests pin the cm-level behavior
+    assert ate < 0.25, f"ATE {ate:.3f} m"
