@@ -26,9 +26,15 @@ def _opt(argv):
 
 def cmd_feature_extractor(argv):
     om, _ = _opt(argv)
-    from .models.feature_pipeline import run_feature_extractor
+    from .models.feature_pipeline import ImageReaderConfig, run_feature_extractor
 
-    n = run_feature_extractor(om.database_path, om.image_path, om.sift_extraction)
+    reader = ImageReaderConfig(
+        camera_model=om.image_reader.camera_model,
+        single_camera=om.image_reader.single_camera,
+        camera_params=om.image_reader.camera_params,
+        default_focal_factor=om.image_reader.default_focal_length_factor,
+    )
+    n = run_feature_extractor(om.database_path, om.image_path, om.sift_extraction, reader)
     print(f"Extracted features for {n} images")
     return 0
 

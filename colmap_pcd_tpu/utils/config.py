@@ -17,6 +17,16 @@ from typing import Any
 
 
 @dataclass
+class ImageReaderConfig_:
+    """ImageReader.* namespace (base/image_reader.h options)."""
+
+    camera_model: str = "OPENCV"
+    single_camera: bool = True
+    camera_params: str = ""  # comma-separated known intrinsics
+    default_focal_length_factor: float = 1.2
+
+
+@dataclass
 class SiftExtractionConfig:
     max_image_size: int = 3200
     max_num_features: int = 8192
@@ -120,12 +130,14 @@ class OptionManager:
 
     database_path: str = ""
     image_path: str = ""
+    image_reader: ImageReaderConfig_ = field(default_factory=ImageReaderConfig_)
     sift_extraction: SiftExtractionConfig = field(default_factory=SiftExtractionConfig)
     sift_matching: SiftMatchingConfig = field(default_factory=SiftMatchingConfig)
     mapper: MapperConfig = field(default_factory=MapperConfig)
     bundle_adjustment: BundleAdjustmentConfig_ = field(default_factory=BundleAdjustmentConfig_)
 
     _SECTIONS = {
+        "ImageReader": "image_reader",
         "SiftExtraction": "sift_extraction",
         "SiftMatching": "sift_matching",
         "Mapper": "mapper",
