@@ -230,6 +230,73 @@ def eight_point(uv1: Array, uv2: Array, mask: Array | None = None, essential: bo
     return F / jnp.where(norm < 1e-12, 1e-12, norm)
 
 
+def seven_point(uv1: Array, uv2: Array) -> tuple[Array, Array]:
+    """7-point fundamental matrix: up to 3 solutions.
+
+    Returns (Fs [3,3,3], valid [3]). The nullspace of the 7x9 system is
+    span{F1, F2}; det(F1 + t F2) = 0 is a cubic solved in closed form
+    (Cardano/trigonometric — all-real case handled; complex roots marked
+    invalid). reference: estimators/fundamental_matrix.h:53
+    (SevenPointEstimator).
+    """
+    n1, T1 = _normalize_points(uv1)
+    n2, T2 = _normalize_points(uv2)
+    x1, y1 = n1[:, 0], n1[:, 1]
+    x2, y2 = n2[:, 0], n2[:, 1]
+    A = jnp.stack(
+        [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, jnp.ones_like(x1)], axis=-1
+    )
+    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
+    F1 = vt[-1].reshape(3, 3)
+    F2 = vt[-2].reshape(3, 3)
+
+    # det(F1 + t F2) = c3 t^3 + c2 t^2 + c1 t + c0 via 4-point interpolation
+    def det_at(t):
+        return jnp.linalg.det(F1 + t * F2)
+
+    d0 = det_at(0.0)
+    d1 = det_at(1.0)
+    dm1 = det_at(-1.0)
+    d2 = det_at(2.0)
+    c0 = d0
+    # solve small linear system for c1..c3 from samples
+    # d(t) = c3 t^3 + c2 t^2 + c1 t + c0
+    M = jnp.asarray([[1.0, 1.0, 1.0], [-1.0, 1.0, -1.0], [8.0, 4.0, 2.0]])  # rows t=1,-1,2 of [t^3,t^2,t]
+    rhs = jnp.stack([d1 - c0, dm1 - c0, d2 - c0])
+    c3, c2, c1 = jnp.linalg.solve(M, rhs)
+
+    # cubic roots (depressed + trigonometric), degenerate-degree guarded
+    a = jnp.where(jnp.abs(c3) < 1e-12, 1e-12, c3)
+    b, c, d = c2 / a, c1 / a, c0 / a
+    p = c - b * b / 3.0
+    q = 2.0 * b**3 / 27.0 - b * c / 3.0 + d
+    disc = (q / 2.0) ** 2 + (p / 3.0) ** 3
+    # three-real-root branch
+    pm = jnp.minimum(p, -1e-12)
+    m = 2.0 * jnp.sqrt(-pm / 3.0)
+    arg = jnp.clip(3.0 * q / (pm * m), -1.0, 1.0)
+    theta = jnp.arccos(arg) / 3.0
+    k = jnp.arange(3)
+    roots3 = m * jnp.cos(theta - 2.0 * jnp.pi * k / 3.0) - b / 3.0
+    # single-real-root branch (Cardano)
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    u = jnp.cbrt(-q / 2.0 + sq)
+    v = jnp.cbrt(-q / 2.0 - sq)
+    root1 = u + v - b / 3.0
+    three_real = disc <= 0
+    roots = jnp.where(three_real, roots3, jnp.stack([root1, root1, root1]))
+    valid = jnp.where(three_real, jnp.ones(3, bool), jnp.asarray([True, False, False]))
+
+    def build(t):
+        F = F1 + t * F2
+        F = T2.T @ F @ T1
+        nrm = jnp.linalg.norm(F)
+        return F / jnp.where(nrm < 1e-12, 1e-12, nrm)
+
+    Fs = jax.vmap(build)(roots)
+    return Fs, valid
+
+
 def sampson_error(F: Array, uv1: Array, uv2: Array) -> Array:
     """Squared Sampson distance (reference: base/essential_matrix.cc /
     cost_functions.h:563-627 RelativePoseCostFunction)."""
