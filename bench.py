@@ -66,7 +66,31 @@ def run_once(seed, n_images, verbose=False):
     return rec.num_reg_images, dt, ate
 
 
+def _ensure_device():
+    """The axon tunnel admits one process at a time and a prior process's
+    claim lingers a few minutes after exit. If backend init failed, re-exec
+    this script after a wait (registration happens at interpreter start, so
+    in-process retry is impossible)."""
+    import jax
+
+    try:
+        jax.devices()
+        return
+    except RuntimeError as e:
+        attempt = int(os.environ.get("_BENCH_CLAIM_ATTEMPT", "0"))
+        if attempt >= 6:
+            print(json.dumps({"metric": "frames_registered_per_s", "value": 0.0,
+                              "unit": "frames/s", "vs_baseline": 0.0,
+                              "error": f"device unavailable: {e}"}))
+            sys.exit(1)
+        print(f"device busy (attempt {attempt}); retrying in 150s", file=sys.stderr)
+        time.sleep(150)
+        os.environ["_BENCH_CLAIM_ATTEMPT"] = str(attempt + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 def main():
+    _ensure_device()
     n_images = 12
     # pass 1: compile everything (different seed so no caching of answers)
     n1, cold_s, ate1 = run_once(3, n_images, verbose=True)
