@@ -118,8 +118,16 @@ class Database:
     # ----------------------------------------------------------- keypoints
     def write_keypoints(self, image_id: int, keypoints: np.ndarray):
         """keypoints [N,>=2] float32; stored as [N,6] affine form
-        (x, y, a11, a12, a21, a22). [N,4] (x,y,scale,ori) is converted."""
-        kp = np.asarray(keypoints, np.float32)
+        (x, y, a11, a12, a21, a22). [N,4] (x,y,scale,ori) is converted.
+
+        Coordinate convention at the DB boundary: this framework works in
+        array-index coordinates (pixel centers at integer coords); COLMAP
+        stores keypoints with the upper-left pixel center at (0.5, 0.5)
+        (base/feature/types.h). We add +0.5 on write and subtract it on
+        read so databases produced by either system open in the other with
+        no systematic offset."""
+        kp = np.asarray(keypoints, np.float32).copy()
+        kp[:, :2] += 0.5
         n = kp.shape[0]
         if kp.shape[1] == 2:
             kp = np.concatenate([kp, np.tile([1, 0, 0, 1], (n, 1)).astype(np.float32)], axis=1)
@@ -140,7 +148,9 @@ class Database:
         if row is None:
             return np.zeros((0, 6), np.float32)
         n, c, data = row
-        return np.frombuffer(data, np.float32).reshape(n, c).copy()
+        kp = np.frombuffer(data, np.float32).reshape(n, c).copy()
+        kp[:, :2] -= 0.5  # COLMAP pixel-center convention -> array coords
+        return kp
 
     # --------------------------------------------------------- descriptors
     def write_descriptors(self, image_id: int, desc: np.ndarray):

@@ -237,23 +237,15 @@ class IncrementalMapper:
     def init_pose_from_options(self, opts: MapperOptions) -> tuple[np.ndarray, np.ndarray]:
         """Seed pose from init_image_* flags with the lidar->camera axis
         conversion (incremental_mapper.cc:517-552)."""
-        roll = math.radians(opts.init_image_roll)
-        pitch = -math.radians(opts.init_image_pitch)
-        yaw = -math.radians(opts.init_image_yaw)
-        # reference builds R_wc = yaw(aboutY) * pitch(aboutX) * roll(aboutZ)
-        def rot(axis, a):
-            c, s = math.cos(a), math.sin(a)
-            if axis == "x":
-                return np.asarray([[1, 0, 0], [0, c, -s], [0, s, c]])
-            if axis == "y":
-                return np.asarray([[c, 0, s], [0, 1, 0], [-s, 0, c]])
-            return np.asarray([[c, -s, 0], [s, c, 0], [0, 0, 1]])
-
-        R_wc = rot("y", yaw) @ rot("x", pitch) @ rot("z", roll)
-        t_wc = np.asarray([-opts.init_image_y, -opts.init_image_z, opts.init_image_x])
-        R_cw = R_wc.T
-        t_cw = -R_cw @ t_wc
-        return np_geom.rotmat_to_quat(R_cw), t_cw
+        q_cw, t_cw = np_geom.lidar_pose_to_cam(
+            opts.init_image_x,
+            opts.init_image_y,
+            opts.init_image_z,
+            math.radians(opts.init_image_roll),
+            math.radians(opts.init_image_pitch),
+            math.radians(opts.init_image_yaw),
+        )
+        return q_cw, t_cw
 
     def register_initial_image_pair_by_depth_proj(
         self, opts: MapperOptions, image_id1: int, image_id2: int

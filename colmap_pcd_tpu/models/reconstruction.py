@@ -24,7 +24,6 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..ops import camera_models as cm
-from ..ops import se3 as se3_ops
 
 INVALID_POINT3D = -1
 
@@ -583,8 +582,6 @@ class Reconstruction:
 
 
 def save_image_poses(path: str, rec: Reconstruction, order: list[int] | None = None):
-    import jax.numpy as jnp
-
     from ..ops import np_geom
 
     ids = order if order is not None else sorted(rec.images.keys())
@@ -594,12 +591,9 @@ def save_image_poses(path: str, rec: Reconstruction, order: list[int] | None = N
         if not img.registered:
             rows.append([np.nan] * 6)
             continue
-        C = img.projection_center()  # camera center, map(camera-convention) frame
-        # convert to lidar frame: (x,y,z)_lidar = (z, -x, -y)_map
-        x, y, z = C[2], -C[0], -C[1]
-        # camera-to-world rotation in map frame -> lidar-frame euler
-        q_wc = np_geom.quat_conj(img.qvec)
-        r, p, yw = (float(v) for v in se3_ops.quat_to_euler_zyx(jnp.asarray(q_wc, jnp.float32)))
+        # one shared convention with LoadPose / init flags (np_geom helpers):
+        # R_wc = Ry(-yaw) Rx(-pitch) Rz(roll), radians, lidar-frame position
+        x, y, z, r, p, yw = np_geom.cam_pose_to_lidar(img.qvec, img.tvec)
         rows.append([x, y, z, r, p, yw])
     with open(path, "w") as f:
         f.write("ply\nformat ascii 1.0\n")
@@ -612,8 +606,12 @@ def save_image_poses(path: str, rec: Reconstruction, order: list[int] | None = N
 
 
 def load_image_poses(path: str) -> dict[int, tuple[np.ndarray, np.ndarray]]:
-    """Returns image index (1-based row order) -> (qvec, tvec), skipping nans."""
-    import jax.numpy as jnp
+    """Returns image index (1-based row order) -> (qvec, tvec), skipping nans.
+
+    Exactly LoadPose's convention (controllers/incremental_mapper.cc:953-976):
+    R_wc = Ry(-yaw) Rx(-pitch) Rz(roll), radians — shared with
+    init_pose_from_options via np_geom.lidar_pose_to_cam."""
+    from ..ops import np_geom
 
     out = {}
     with open(path) as f:
@@ -627,13 +625,6 @@ def load_image_poses(path: str) -> dict[int, tuple[np.ndarray, np.ndarray]]:
         if any(np.isnan(v) for v in vals):
             continue
         x, y, z, roll, pitch, yaw = vals
-        # lidar-frame position -> map frame
-        C = np.asarray([-y, -z, x])
-        q_wc = se3_ops.euler_zyx_to_quat(
-            jnp.asarray(roll, jnp.float32), jnp.asarray(pitch, jnp.float32), jnp.asarray(yaw, jnp.float32)
-        )
-        q_cw = np.asarray(se3_ops.quat_conj(q_wc), np.float64)
-        R_cw = np.asarray(se3_ops.quat_to_rotmat(jnp.asarray(q_cw, jnp.float32)), np.float64)
-        t_cw = -R_cw @ C
-        out[i] = (q_cw, t_cw)
+        q_cw, t_cw = np_geom.lidar_pose_to_cam(x, y, z, roll, pitch, yaw)
+        out[i] = (np.asarray(q_cw, np.float64), t_cw)
     return out

@@ -130,6 +130,52 @@ def triangulation_angle(c1, c2, X):
     return np.arccos(np.clip(c, -1.0, 1.0))
 
 
+# ----------------------------------------------- lidar-frame pose convention
+# The reference uses ONE convention at all three pose conversion sites (init
+# flags, pose.ply load, pose.ply save): lidar frame is x-forward/y-left/z-up,
+# camera(map) frame is x-right/y-down/z-forward, angles are radians, and
+#   R_wc = Ry(-yaw) @ Rx(-pitch) @ Rz(roll),   t_wc(map) = (-y, -z, x)
+# (controllers/incremental_mapper.cc:953-976 LoadPose,
+#  ui/main_window.cc:1136-1160 SaveImagePoses,
+#  sfm/incremental_mapper.cc:517-552 RegisterInitialImagePairByDepthProj).
+
+
+def _rot_axis(axis: str, a: float) -> np.ndarray:
+    c, s = np.cos(a), np.sin(a)
+    if axis == "x":
+        return np.asarray([[1, 0, 0], [0, c, -s], [0, s, c]])
+    if axis == "y":
+        return np.asarray([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+    return np.asarray([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+
+
+def lidar_pose_to_cam(x, y, z, roll, pitch, yaw):
+    """(x,y,z,roll,pitch,yaw) in the lidar frame (radians) -> (q_cw, t_cw)."""
+    R_wc = _rot_axis("y", -yaw) @ _rot_axis("x", -pitch) @ _rot_axis("z", roll)
+    t_wc = np.asarray([-y, -z, x], np.float64)
+    R_cw = R_wc.T
+    t_cw = -R_cw @ t_wc
+    return rotmat_to_quat(R_cw), t_cw
+
+
+def cam_pose_to_lidar(qvec, tvec):
+    """(q_cw, t_cw) -> (x,y,z,roll,pitch,yaw) in the lidar frame (radians).
+
+    Canonical decomposition R_wc = Ry(a) Rx(b) Rz(c) with b in [-pi/2, pi/2];
+    roll = c, pitch = -b, yaw = -a. Round-trips exactly through
+    lidar_pose_to_cam, and reference-written files load identically (the
+    reference's Eigen eulerAngles branch normalizes to an equivalent angle
+    triple for the same rotation)."""
+    R_cw = quat_to_rotmat(np.asarray(qvec, np.float64))
+    R_wc = R_cw.T
+    t_wc = -R_wc @ np.asarray(tvec, np.float64)
+    b = np.arcsin(np.clip(-R_wc[1, 2], -1.0, 1.0))
+    a = np.arctan2(R_wc[0, 2], R_wc[2, 2])
+    c = np.arctan2(R_wc[1, 0], R_wc[1, 1])
+    x, y, z = t_wc[2], -t_wc[0], -t_wc[1]
+    return float(x), float(y), float(z), float(c), float(-b), float(-a)
+
+
 # ------------------------------------------------------------- camera models
 
 

@@ -30,13 +30,26 @@ def get_lib():
             return _lib
         _tried = True
         so = os.path.join(_CPP_DIR, "libnative.so")
+        src = os.path.join(_CPP_DIR, "native.cpp")
+        hash_file = os.path.join(_CPP_DIR, ".native.hash")
         try:
-            if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(
-                os.path.join(_CPP_DIR, "native.cpp")
-            ):
+            # rebuild keyed on a source content hash, not mtime: git checkouts
+            # do not preserve mtimes, and the .so is never committed, so a
+            # stale/foreign-arch binary must not be silently loaded
+            import hashlib
+
+            with open(src, "rb") as f:
+                src_hash = hashlib.sha256(f.read()).hexdigest()
+            built_hash = None
+            if os.path.exists(hash_file):
+                with open(hash_file) as f:
+                    built_hash = f.read().strip()
+            if not os.path.exists(so) or built_hash != src_hash:
                 subprocess.run(
-                    ["make", "-s"], cwd=_CPP_DIR, check=True, capture_output=True
+                    ["make", "-sB"], cwd=_CPP_DIR, check=True, capture_output=True
                 )
+                with open(hash_file, "w") as f:
+                    f.write(src_hash)
             lib = ctypes.CDLL(so)
         except Exception:
             return None

@@ -18,6 +18,13 @@ from typing import Any, Callable, Iterable
 _STOP = object()
 
 
+class _ProducerError:
+    """Sentinel carrying an exception from an IO producer to the main thread."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 class JobQueue:
     """Bounded MPMC queue with push/pop/wait semantics (threading.h:261)."""
 
@@ -112,8 +119,14 @@ def pipeline_map(
     lock = threading.Condition()
 
     def producer(idx_item):
+        # a raising produce() (corrupt image, unreadable file) must still
+        # publish SOMETHING, or the main thread waits on `lock` forever —
+        # store the exception as the produced value and re-raise it there
         idx, item = idx_item
-        out = produce(item)
+        try:
+            out = produce(item)
+        except BaseException as e:  # noqa: BLE001 — surfaced on the main thread
+            out = _ProducerError(e)
         with lock:
             produced[idx] = out
             lock.notify_all()
@@ -143,6 +156,10 @@ def pipeline_map(
                 while i not in produced:
                     lock.wait()
                 data = produced.pop(i)
+            if isinstance(data, _ProducerError):
+                results_q.stop()
+                write_done.wait()
+                raise data.exc
             res = device_stage(item, data)
             results_q.push((item, res))
         for f in futs:

@@ -35,6 +35,62 @@ def test_pose_ply_roundtrip(rng):
         np.testing.assert_allclose(t, gt[i - 1][1], atol=1e-3)
 
 
+def test_pose_ply_reference_convention(tmp_path):
+    """A pose.ply row must import with the REFERENCE's convention
+    (LoadPose, controllers/incremental_mapper.cc:953-976): R_wc =
+    Ry(-yaw)Rx(-pitch)Rz(roll) in radians — exactly what
+    init_pose_from_options implements for the init flags."""
+    import math
+
+    from colmap_pcd_tpu.models.incremental_mapper import IncrementalMapper, MapperOptions
+    from colmap_pcd_tpu.ops import np_geom
+
+    x, y, z = 1.5, -0.7, 0.3
+    roll, pitch, yaw = 0.1, -0.25, 0.8  # radians
+    path = str(tmp_path / "pose.ply")
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\nelement vertex 1\n")
+        for prop in ("x", "y", "z", "roll", "pitch", "yaw"):
+            f.write(f"property float {prop}\n")
+        f.write("end_header\n")
+        f.write(f"{x} {y} {z} {roll} {pitch} {yaw}\n")
+    q, t = load_image_poses(path)[1]
+
+    # emulate the reference LoadPose math independently
+    def rot(axis, a):
+        c, s = math.cos(a), math.sin(a)
+        if axis == "x":
+            return np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+        if axis == "y":
+            return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+
+    R_wc = rot("y", -yaw) @ rot("x", -pitch) @ rot("z", roll)
+    t_wc = np.array([-y, -z, x])
+    R_cw = R_wc.T
+    np.testing.assert_allclose(np_geom.quat_to_rotmat(q), R_cw, atol=1e-9)
+    np.testing.assert_allclose(t, -R_cw @ t_wc, atol=1e-9)
+
+    # init flags with the same (degree-converted) values give the same pose
+    opts = MapperOptions(
+        init_image_x=x, init_image_y=y, init_image_z=z,
+        init_image_roll=math.degrees(roll),
+        init_image_pitch=math.degrees(pitch),
+        init_image_yaw=math.degrees(yaw),
+    )
+    rec = Reconstruction()
+    mapper = IncrementalMapper.__new__(IncrementalMapper)
+    q2, t2 = IncrementalMapper.init_pose_from_options(mapper, opts)
+    assert float(np_geom.angle_between(q, q2)) < 1e-6
+    np.testing.assert_allclose(t, t2, atol=1e-9)
+
+    # save -> load round-trip preserves the pose exactly
+    x2, y2, z2, r2, p2, yw2 = np_geom.cam_pose_to_lidar(q, t)
+    q3, t3 = np_geom.lidar_pose_to_cam(x2, y2, z2, r2, p2, yw2)
+    assert float(np_geom.angle_between(q, q3)) < 1e-9
+    np.testing.assert_allclose(t, t3, atol=1e-9)
+
+
 def test_snapshot_and_resume(rng, tmp_path):
     """Reconstruct partially, write the model, reload it, and continue
     (mapper --input_path semantics)."""
