@@ -131,6 +131,8 @@ class IncrementalMapper:
         lidar_map: LidarMap | None = None,
         pose_priors: dict[int, tuple[np.ndarray, np.ndarray]] | None = None,
     ):
+        from .visibility import VisibilityIndex
+
         self.rec = rec
         self.graph = graph
         self.lidar_map = lidar_map
@@ -139,6 +141,13 @@ class IncrementalMapper:
         self.num_reg_trials: dict[int, int] = {}
         self.filtered_images: set[int] = set()
         self.existing_image_ids: set[int] = set()
+        # incremental next-image scoring (visibility pyramid bookkeeping)
+        self.visibility = VisibilityIndex(rec, graph)
+        # the most recently registered image (center of the spherical global
+        # BA) — tracked explicitly so resume-from-model keeps the invariant
+        self.last_registered_id: int = (
+            rec.registered_ids[-1] if rec.registered_ids else -1
+        )
         # per-image depth-projection cache for the current BA round
         # (lidar_searched_image_ids_, bundle_adjustment.h:189)
         self._proj_cache: dict[int, dict[int, tuple[np.ndarray, np.ndarray]]] = {}
@@ -178,41 +187,61 @@ class IncrementalMapper:
         self._proj_cache[image_id] = result
         return result
 
-    def _match_variable_point_to_lidar(self, point3D_id: int, image_id: int, opts: MapperOptions):
-        """Project2Image + MatchVariablePoint2LidarPoint: across the track's
-        cached projections, pick the lidar match whose (point - lidar_pt)
-        vector is most perpendicular to the normal
-        (bundle_adjustment.cc:241-350)."""
-        p = self.rec.points3D.get(point3D_id)
-        if p is None:
-            return
-        best = None
-        best_cos = np.inf
-        for iid, _ in p.track:
-            # pair gating by feature-match count (Project2Image threshold)
-            if iid != image_id:
+    def _match_variable_points_to_lidar(self, point3D_ids, image_id: int, opts: MapperOptions):
+        """Project2Image + MatchVariablePoint2LidarPoint, batched: across each
+        track's cached projections, pick the lidar match whose (point -
+        lidar_pt) vector is most perpendicular to the normal
+        (bundle_adjustment.cc:241-350). One vectorized pass over all candidate
+        (point, image) pairs instead of per-point Python walks."""
+        # gather candidate (pid, iid) pairs with Project2Image pair gating
+        gate_cache: dict[int, bool] = {image_id: True}
+
+        def gate(iid: int) -> bool:
+            ok = gate_cache.get(iid)
+            if ok is None:
                 corrs = self.graph.num_matches(image_id, iid)
-                if corrs and corrs <= opts.ba_match_features_threshold:
-                    continue
-            cache = self._project_image_to_cloud(iid)
-            hit = cache.get(point3D_id)
-            if hit is None:
+                ok = not (corrs and corrs <= opts.ba_match_features_threshold)
+                gate_cache[iid] = ok
+            return ok
+
+        cand_pid, cand_lpt, cand_lnr, cand_xyz = [], [], [], []
+        for pid in point3D_ids:
+            p = self.rec.points3D.get(pid)
+            if p is None:
                 continue
-            lpt, lnr = hit
-            vec = p.xyz - lpt
-            nv = np.linalg.norm(vec) * np.linalg.norm(lnr)
-            if nv < 1e-12:
-                cosang = 0.0
-            else:
-                cosang = abs(float(np.dot(vec, lnr)) / nv)
-            if cosang < best_cos:
-                best_cos = cosang
-                best = (lpt, lnr)
-        if best is None:
+            for iid, _ in p.track:
+                if not gate(iid):
+                    continue
+                hit = self._project_image_to_cloud(iid).get(pid)
+                if hit is None:
+                    continue
+                cand_pid.append(pid)
+                cand_lpt.append(hit[0])
+                cand_lnr.append(hit[1])
+                cand_xyz.append(p.xyz)
+        if not cand_pid:
             return
-        lpt, lnr = best
-        plane = np_geom.plane_through(lpt, lnr)
-        self.rec.add_lidar_point(point3D_id, LidarAssoc(LIDAR_PROJ, np.asarray(lpt, np.float64), plane))
+        pid_arr = np.asarray(cand_pid, np.int64)
+        lpt = np.asarray(cand_lpt, np.float64)
+        lnr = np.asarray(cand_lnr, np.float64)
+        xyz = np.asarray(cand_xyz, np.float64)
+        vec = xyz - lpt
+        nv = np.linalg.norm(vec, axis=-1) * np.linalg.norm(lnr, axis=-1)
+        cosang = np.where(
+            nv < 1e-12, 0.0, np.abs(np.sum(vec * lnr, axis=-1)) / np.maximum(nv, 1e-12)
+        )
+        # per-pid argmin over candidates: sort by (pid, cos), keep first of each
+        order = np.lexsort((cosang, pid_arr))
+        first = np.ones(len(order), bool)
+        sp = pid_arr[order]
+        first[1:] = sp[1:] != sp[:-1]
+        win = order[first]
+        planes = np_geom.plane_through(lpt[win], lnr[win])
+        for k, row in enumerate(win):
+            self.rec.add_lidar_point(
+                int(pid_arr[row]),
+                LidarAssoc(LIDAR_PROJ, lpt[row], planes[k]),
+            )
 
     def _match_closest_lidar_points(self, point3D_ids: list[int], max_ranges: list[float]):
         """Batched kd-tree replacement: NN + ground classification + range gate
@@ -317,6 +346,7 @@ class IncrementalMapper:
 
         self.rec.register_image(image_id1)
         self.rec.register_image(image_id2)
+        self.last_registered_id = image_id2
         self.num_reg_trials[image_id1] = self.num_reg_trials.get(image_id1, 0) + 1
         self.num_reg_trials[image_id2] = self.num_reg_trials.get(image_id2, 0) + 1
 
@@ -362,6 +392,7 @@ class IncrementalMapper:
         img2.tvec = np.asarray(g.tvec, np.float64)
         self.rec.register_image(image_id1)
         self.rec.register_image(image_id2)
+        self.last_registered_id = image_id2
         # triangulate inliers
         rows = g.inlier_matches[:, 0]
         n1 = np_geom.image_to_world(cam1.model_id, cam1.padded_params(), img1.xys[matches[rows, 0]])
@@ -411,25 +442,72 @@ class IncrementalMapper:
 
     # ----------------------------------------------------------- registration
     def find_next_images(self, opts: MapperOptions) -> list[int]:
-        """Rank unregistered images by visible triangulated points
-        (FindNextImages, :299)."""
-        scores = []
+        """Rank unregistered images by visibility-pyramid score
+        (FindNextImages, :299 + RankNextImageMinUncertainty) using the
+        incrementally maintained VisibilityIndex — O(images) per call.
+        Fresh images rank ahead of previously filtered/failed ones."""
+        ranks, other_ranks = [], []
         for iid, img in self.rec.images.items():
-            if img.registered or iid in self.filtered_images:
+            if img.registered:
                 continue
-            if self.num_reg_trials.get(iid, 0) >= opts.max_reg_trials:
+            if self.visibility.num_visible_points3D(iid) < opts.abs_pose_min_num_inliers:
                 continue
-            score = 0
-            for fidx in range(img.xys.shape[0]):
-                for cid, cfeat in self.graph.find_correspondences(iid, fidx):
-                    cimg = self.rec.images.get(cid)
-                    if cimg is not None and cimg.registered and cimg.point3D_ids[cfeat] != INVALID_POINT3D:
-                        score += 1
-                        break
-            if score > 0:
-                scores.append((score, iid))
-        scores.sort(key=lambda s: -s[0])
-        return [iid for _, iid in scores]
+            trials = self.num_reg_trials.get(iid, 0)
+            if trials >= opts.max_reg_trials:
+                continue
+            score = self.visibility.score(iid)
+            if iid not in self.filtered_images and trials == 0:
+                ranks.append((score, iid))
+            else:
+                other_ranks.append((score, iid))
+        ranks.sort(key=lambda s: -s[0])
+        other_ranks.sort(key=lambda s: -s[0])
+        return [iid for _, iid in ranks] + [iid for _, iid in other_ranks]
+
+    def _search_2d3d(self, image_id: int):
+        """Batched 2D-3D correspondence search (RegisterNextImage :770-823):
+        for every feature of image_id, collect the distinct triangulated 3D
+        points seen by its correspondences in registered images. Fully
+        vectorized over the CSR graph."""
+        img = self.rec.images[image_id]
+        nf = img.xys.shape[0]
+        if nf == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        # restrict the query to features the visibility index knows can see
+        # a triangulated point (cheap superset filter)
+        feats = self.visibility.visible_features(image_id)
+        if feats.size == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        qid, nimg, nfeat = self.graph.find_batch(image_id, feats)
+        if qid.size == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        # flat pid lookup tables over registered images
+        reg = self.rec.registered_ids
+        max_id = int(max(self.rec.images.keys())) + 1
+        idx_of = np.full(max_id, -1, np.int64)
+        offs = np.zeros(len(reg) + 1, np.int64)
+        parts = []
+        for k, iid in enumerate(reg):
+            idx_of[iid] = k
+            pids_k = self.rec.images[iid].point3D_ids
+            offs[k + 1] = offs[k] + pids_k.shape[0]
+            parts.append(pids_k)
+        flat = np.concatenate(parts) if parts else np.zeros(0, np.int64)
+        ok = (nimg < max_id) & (nimg >= 0)
+        ridx = np.where(ok, idx_of[np.minimum(nimg, max_id - 1)], -1)
+        ok &= ridx >= 0
+        pid = np.full(qid.shape, INVALID_POINT3D, np.int64)
+        sel = np.nonzero(ok)[0]
+        pid[sel] = flat[offs[ridx[sel]] + nfeat[sel]]
+        ok &= pid != INVALID_POINT3D
+        sel = np.nonzero(ok)[0]
+        if sel.size == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        # dedup (feature, pid) pairs
+        fidx = feats[qid[sel]]
+        key = (fidx << 44) | pid[sel]
+        ukey = np.unique(key)
+        return ukey >> 44, ukey & ((1 << 44) - 1)
 
     def register_next_image(self, opts: MapperOptions, image_id: int) -> bool:
         """(RegisterNextImage, :706-964)."""
@@ -438,26 +516,15 @@ class IncrementalMapper:
         self.num_reg_trials[image_id] = self.num_reg_trials.get(image_id, 0) + 1
 
         # 2D-3D correspondence search over the graph (:770-823)
-        tri_uv, tri_X, tri_feat, tri_pid = [], [], [], []
-        for fidx in range(img.xys.shape[0]):
-            seen_pids = set()
-            for cid, cfeat in self.graph.find_correspondences(image_id, fidx):
-                cimg = self.rec.images.get(cid)
-                if cimg is None or not cimg.registered:
-                    continue
-                pid = int(cimg.point3D_ids[cfeat])
-                if pid == INVALID_POINT3D or pid in seen_pids or pid not in self.rec.points3D:
-                    continue
-                seen_pids.add(pid)
-                tri_uv.append(img.xys[fidx])
-                tri_X.append(self.rec.points3D[pid].xyz)
-                tri_feat.append(fidx)
-                tri_pid.append(pid)
-        if len(tri_uv) < opts.abs_pose_min_num_inliers:
+        tri_feat_arr, tri_pid_arr = self._search_2d3d(image_id)
+        if tri_feat_arr.size < opts.abs_pose_min_num_inliers:
             return False
-
-        uv = np.asarray(tri_uv, np.float32)
-        X = np.asarray(tri_X, np.float32)
+        tri_feat = tri_feat_arr.tolist()
+        tri_pid = tri_pid_arr.tolist()
+        pts3D = self.rec.points3D
+        uv = img.xys[tri_feat_arr].astype(np.float32)
+        X = np.asarray([pts3D[p].xyz for p in tri_pid], np.float32)
+        tri_uv = uv
         nuv = np_geom.image_to_world(cam.model_id, cam.padded_params(), uv).astype(np.float32)
         npad = _bucket(len(tri_uv), 2048)
         uvp = np.zeros((npad, 2), np.float32)
@@ -484,6 +551,7 @@ class IncrementalMapper:
             img.qvec, img.tvec = (np.asarray(v, np.float64) for v in self.pose_priors[image_id])
 
         self.rec.register_image(image_id)
+        self.last_registered_id = image_id
         # continue tracks for inliers
         mask = np.asarray(res.inlier_mask)[: len(tri_uv)]
         for k in np.nonzero(mask)[0]:
@@ -595,8 +663,7 @@ class IncrementalMapper:
             opts.if_add_lidar_constraint or opts.if_add_lidar_corresponding
         ):
             with PHASES.phase("lidar_assoc_proj"):
-                for pid in proj_pids:
-                    self._match_variable_point_to_lidar(pid, image_id, opts)
+                self._match_variable_points_to_lidar(proj_pids, image_id, opts)
             ranges = [
                 max(
                     opts.kdtree_max_search_range
@@ -648,7 +715,10 @@ class IncrementalMapper:
         reg = list(self.rec.registered_ids)
         if len(reg) < 2:
             return False
-        newest = reg[-1]
+        # sphere center = most recently registered image, tracked explicitly
+        # (registration order and registered_ids list order can diverge after
+        # resume-from-model)
+        newest = self.last_registered_id if self.last_registered_id in self.rec.images and self.rec.images[self.last_registered_id].registered else reg[-1]
         c_new = self.rec.images[newest].projection_center()
         variable_imgs, const_imgs = [], []
         for iid in reg:
@@ -743,55 +813,56 @@ class IncrementalMapper:
         results back into the reconstruction."""
         rec = self.rec
         bundle_set = set(bundle_images)
-        # collect observations: bundle images observe their points; variable
-        # points pull in their full tracks with outside poses fixed
+        # collect observations, vectorized per image: bundle images observe
+        # all their points; other registered images contribute only their
+        # observations of variable points and enter with fixed poses
         # (AddImageToProblem/AddPointToProblem semantics)
         img_ids: list[int] = list(bundle_images)
-        img_slot = {iid: k for k, iid in enumerate(img_ids)}
-        obs = []  # (image_id, pid, uv)
-        pids_in_problem: dict[int, int] = {}
-
-        def pid_slot(pid):
-            if pid not in pids_in_problem:
-                pids_in_problem[pid] = len(pids_in_problem)
-            return pids_in_problem[pid]
-
+        var_arr = np.fromiter(variable_pids, np.int64, len(variable_pids))
+        var_arr.sort()
+        obs_iid_parts, obs_pid_parts, obs_uv_parts = [], [], []
         for iid in bundle_images:
             img = rec.images[iid]
-            for fidx in np.nonzero(img.point3D_ids != INVALID_POINT3D)[0]:
-                pid = int(img.point3D_ids[fidx])
-                if pid in rec.points3D:
-                    obs.append((iid, pid, img.xys[fidx]))
-                    pid_slot(pid)
-        for pid in variable_pids:
-            p = rec.points3D.get(pid)
-            if p is None:
+            f = np.nonzero(img.point3D_ids != INVALID_POINT3D)[0]
+            if f.size:
+                obs_iid_parts.append(np.full(f.size, iid, np.int64))
+                obs_pid_parts.append(img.point3D_ids[f])
+                obs_uv_parts.append(img.xys[f])
+        for iid in rec.registered_ids if var_arr.size else []:
+            if iid in bundle_set:
                 continue
-            for iid, fidx in p.track:
-                if iid in bundle_set:
-                    continue
-                img = rec.images[iid]
-                if not img.registered:
-                    continue
-                if iid not in img_slot:
-                    img_slot[iid] = len(img_ids)
-                    img_ids.append(iid)
-                    pose_fixed_ids = pose_fixed_ids | {iid}
-                obs.append((iid, pid, img.xys[fidx]))
-                pid_slot(pid)
-        if not obs or len(pids_in_problem) == 0:
+            img = rec.images[iid]
+            f = np.nonzero(img.point3D_ids != INVALID_POINT3D)[0]
+            if f.size == 0:
+                continue
+            pids_f = img.point3D_ids[f]
+            pos = np.searchsorted(var_arr, pids_f)
+            isvar = (pos < var_arr.size) & (var_arr[np.minimum(pos, var_arr.size - 1)] == pids_f)
+            f = f[isvar]
+            if f.size == 0:
+                continue
+            img_ids.append(iid)
+            pose_fixed_ids = pose_fixed_ids | {iid}
+            obs_iid_parts.append(np.full(f.size, iid, np.int64))
+            obs_pid_parts.append(img.point3D_ids[f])
+            obs_uv_parts.append(img.xys[f])
+        if not obs_pid_parts:
+            return
+        obs_iid = np.concatenate(obs_iid_parts)
+        obs_pid_arr = np.concatenate(obs_pid_parts)
+        obs_uv_all = np.concatenate(obs_uv_parts).astype(np.float32)
+        img_slot = {iid: k for k, iid in enumerate(img_ids)}
+        uniq_pids, obs_pt_slots = np.unique(obs_pid_arr, return_inverse=True)
+        pids_in_problem = {int(pid): s for s, pid in enumerate(uniq_pids)}
+        n_obs = obs_pid_arr.shape[0]
+        if n_obs == 0 or uniq_pids.size == 0:
             return
 
         C = _bucket(len(img_ids), 16)
-        P = _bucket(len(pids_in_problem), 2048)
-        N = _bucket(len(obs), 8192)
-        # track length bucket
-        per_pid_count: dict[int, int] = {}
-        for _, pid, _ in obs:
-            per_pid_count[pid] = per_pid_count.get(pid, 0) + 1
-        T = _bucket(max(per_pid_count.values()), 16)
+        P = _bucket(uniq_pids.size, 2048)
+        N = _bucket(n_obs, 8192)
+        T = _bucket(int(np.bincount(obs_pt_slots).max()), 16)
 
-        cam0 = self._camera_of(bundle_images[0])
         cam_q = np.zeros((C, 4), np.float32)
         cam_q[:, 0] = 1.0
         cam_t = np.zeros((C, 3), np.float32)
@@ -809,39 +880,58 @@ class IncrementalMapper:
         point_fixed = np.ones(P, np.float32)
         lidar_plane = np.zeros((P, 4), np.float32)
         lidar_w = np.zeros(P, np.float32)
-        slot_pid = {}
-        for pid, s in pids_in_problem.items():
-            points[s] = rec.points3D[pid].xyz
-            point_fixed[s] = 0.0 if pid in variable_pids else 1.0
-            slot_pid[s] = pid
-            a = lidar_assocs.get(pid)
-            if a is not None and pid in variable_pids:
+        pts3D = rec.points3D
+        points[: uniq_pids.size] = np.asarray([pts3D[int(p)].xyz for p in uniq_pids])
+        if var_arr.size:
+            pos = np.searchsorted(var_arr, uniq_pids)
+            isvar = (pos < var_arr.size) & (var_arr[np.minimum(pos, var_arr.size - 1)] == uniq_pids)
+            point_fixed[: uniq_pids.size] = np.where(isvar, 0.0, 1.0)
+        w_of_type = {
+            LIDAR_PROJ: opts.proj_lidar_constraint_weight,
+            LIDAR_ICP: opts.icp_lidar_constraint_weight,
+            LIDAR_ICP_GROUND: opts.icp_ground_lidar_constraint_weight,
+        }
+        for pid, a in lidar_assocs.items():
+            s = pids_in_problem.get(int(pid))
+            if s is not None and point_fixed[s] == 0.0:
                 lidar_plane[s] = a.plane
-                lidar_w[s] = {
-                    LIDAR_PROJ: opts.proj_lidar_constraint_weight,
-                    LIDAR_ICP: opts.icp_lidar_constraint_weight,
-                    LIDAR_ICP_GROUND: opts.icp_ground_lidar_constraint_weight,
-                }[a.type]
+                lidar_w[s] = w_of_type[a.type]
+
+        # per-camera intrinsics slots (bundle_adjustment.cc:1047-1100
+        # ParameterizeCameras semantics: every camera its own parameter block)
+        cam_ids = [rec.images[iid].camera_id for iid in img_ids]
+        uniq_cams = sorted(set(cam_ids))
+        cam_slot_of = {cid: k for k, cid in enumerate(uniq_cams)}
+        intr = np.stack([rec.cameras[c].padded_params() for c in uniq_cams])
+        model_ids = tuple(sorted({rec.cameras[c].model_id for c in uniq_cams}))
+        cam_model = np.asarray(
+            [model_ids.index(rec.cameras[c].model_id) for c in uniq_cams], np.int32
+        )
+        cam_k = np.zeros(C, np.int32)
+        cam_k[: len(img_ids)] = [cam_slot_of[c] for c in cam_ids]
 
         obs_cam = np.zeros(N, np.int32)
         obs_pt = np.zeros(N, np.int32)
         obs_uv = np.zeros((N, 2), np.float32)
         obs_valid = np.zeros(N, np.float32)
-        for k, (iid, pid, uv) in enumerate(obs):
-            obs_cam[k] = img_slot[iid]
-            obs_pt[k] = pids_in_problem[pid]
-            obs_uv[k] = uv
-            obs_valid[k] = 1.0
+        uniq_iids, inv_iid = np.unique(obs_iid, return_inverse=True)
+        slot_lookup = np.asarray([img_slot[int(i)] for i in uniq_iids], np.int32)
+        obs_cam[:n_obs] = slot_lookup[inv_iid]
+        obs_pt[:n_obs] = obs_pt_slots
+        obs_uv[:n_obs] = obs_uv_all
+        obs_valid[:n_obs] = 1.0
 
         prob = ba_ops.make_problem(
-            cam_q, cam_t, cam0.padded_params(), points,
+            cam_q, cam_t, intr, points,
             obs_cam, obs_pt, obs_uv,
+            cam_k=cam_k, cam_model=cam_model,
             obs_valid=obs_valid, track_len=T,
             lidar_plane=lidar_plane, lidar_w=lidar_w,
             pose_fixed=pose_fixed, tvec_fixed=tvf, point_fixed=point_fixed,
         )
         cfg = ba_ops.BAConfig(
-            model_id=cam0.model_id,
+            model_id=model_ids[0],
+            model_ids=model_ids,
             loss_type=opts.loss_type,
             loss_scale=opts.loss_scale,
             max_iterations=max_iterations,
@@ -863,18 +953,18 @@ class IncrementalMapper:
                 rec.images[iid].qvec = q_out[k]
                 rec.images[iid].tvec = t_out[k]
         if refine_intrinsics:
-            # single shared-intrinsics slot (K=1): write back the refined
-            # params to every camera in the problem (final batch BA with
-            # intrinsics refinement — BASELINE config 4)
-            new_params = np.asarray(out.intr, np.float64)[0]
-            for iid in img_slot:
-                cam = rec.cameras[rec.images[iid].camera_id]
+            # per-camera write-back of each refined intrinsics slot
+            new_params = np.asarray(out.intr, np.float64)
+            for cid, k in cam_slot_of.items():
+                cam = rec.cameras[cid]
                 n = len(cam.params)
-                cam.params = new_params[:n].copy()
+                cam.params = new_params[k, :n].copy()
         p_out = np.asarray(out.points, np.float64)
-        for s, pid in slot_pid.items():
-            if point_fixed[s] == 0.0 and pid in rec.points3D:
-                rec.points3D[pid].xyz = p_out[s]
+        free = np.nonzero(point_fixed[: uniq_pids.size] == 0.0)[0]
+        for s in free:
+            pid = int(uniq_pids[s])
+            if pid in pts3D:
+                pts3D[pid].xyz = p_out[s]
 
     # -------------------------------------------------------------- filtering
     def filter_points(self, opts: MapperOptions) -> int:

@@ -128,6 +128,25 @@ class Reconstruction:
         self.lidar_points_in_global: dict[int, LidarAssoc] = {}
         # image pair stats (from the database cache; used by Project2Image)
         self.image_pair_corrs: dict[tuple[int, int], int] = {}
+        # observers notified on every (image, feat) triangulation transition
+        # (the reference's SetObservationAsTriangulated bookkeeping hook,
+        # base/image.cc:110-135) — see models/visibility.VisibilityIndex
+        self.obs_observers: list = []
+
+    def _set_obs(self, image_id: int, p2d_idx: int, pid: int):
+        """Single point of mutation for image.point3D_ids with observer
+        notification on INVALID<->valid transitions."""
+        img = self.images[image_id]
+        old = int(img.point3D_ids[p2d_idx])
+        if old == pid:
+            return
+        img.point3D_ids[p2d_idx] = pid
+        if old == INVALID_POINT3D:
+            for ob in self.obs_observers:
+                ob.on_observation(image_id, p2d_idx, True)
+        elif pid == INVALID_POINT3D:
+            for ob in self.obs_observers:
+                ob.on_observation(image_id, p2d_idx, False)
 
     # ------------------------------------------------------------------ build
     def add_camera(self, camera: Camera):
@@ -165,13 +184,13 @@ class Reconstruction:
         self.points3D[pid] = p
         for image_id, p2d_idx in track:
             assert self.images[image_id].point3D_ids[p2d_idx] == INVALID_POINT3D
-            self.images[image_id].point3D_ids[p2d_idx] = pid
+            self._set_obs(image_id, p2d_idx, pid)
         return pid
 
     def add_observation(self, point3D_id: int, image_id: int, point2D_idx: int):
         img = self.images[image_id]
         assert img.point3D_ids[point2D_idx] == INVALID_POINT3D
-        img.point3D_ids[point2D_idx] = point3D_id
+        self._set_obs(image_id, point2D_idx, point3D_id)
         self.points3D[point3D_id].track.append((image_id, point2D_idx))
 
     def delete_observation(self, image_id: int, point2D_idx: int):
@@ -179,25 +198,20 @@ class Reconstruction:
         pid = int(img.point3D_ids[point2D_idx])
         if pid == INVALID_POINT3D:
             return
-        img.point3D_ids[point2D_idx] = INVALID_POINT3D
+        self._set_obs(image_id, point2D_idx, INVALID_POINT3D)
         p = self.points3D[pid]
         p.track.remove((image_id, point2D_idx))
         if len(p.track) < 2:
             self._delete_point_only(pid)
 
     def delete_point3D(self, point3D_id: int):
-        p = self.points3D.get(point3D_id)
-        if p is None:
-            return
-        for image_id, p2d_idx in p.track:
-            self.images[image_id].point3D_ids[p2d_idx] = INVALID_POINT3D
         self._delete_point_only(point3D_id)
 
     def _delete_point_only(self, pid: int):
         p = self.points3D.pop(pid, None)
         if p is not None:
             for image_id, p2d_idx in p.track:
-                self.images[image_id].point3D_ids[p2d_idx] = INVALID_POINT3D
+                self._set_obs(image_id, p2d_idx, INVALID_POINT3D)
         self.lidar_points.pop(pid, None)
         self.lidar_points_in_global.pop(pid, None)
 
@@ -209,15 +223,13 @@ class Reconstruction:
         xyz = (p1.xyz * n1 + p2.xyz * n2) / (n1 + n2)
         color = ((p1.color.astype(np.int64) * n1 + p2.color.astype(np.int64) * n2) // (n1 + n2)).astype(np.uint8)
         track = p1.track + p2.track
-        for image_id, p2d_idx in track:
-            self.images[image_id].point3D_ids[p2d_idx] = INVALID_POINT3D
         self._delete_point_only(pid1)
         self._delete_point_only(pid2)
         new_id = self._next_point3D_id
         self._next_point3D_id += 1
         self.points3D[new_id] = Point3D(xyz=xyz, color=color, track=track)
         for image_id, p2d_idx in track:
-            self.images[image_id].point3D_ids[p2d_idx] = new_id
+            self._set_obs(image_id, p2d_idx, new_id)
         return new_id
 
     # ------------------------------------------------------------- lidar glue
@@ -299,12 +311,20 @@ class Reconstruction:
         qv = np.stack([self.images[i].qvec for _, i, _ in obs])
         tv = np.stack([self.images[i].tvec for _, i, _ in obs])
         uv = np.stack([self.images[i].xys[j] for _, i, j in obs])
-        model_id = next(iter(self.cameras.values())).model_id
+        models = np.asarray(
+            [self.cameras[self.images[i].camera_id].model_id for _, i, _ in obs]
+        )
         par = np.stack(
             [self.cameras[self.images[i].camera_id].padded_params() for _, i, _ in obs]
         )
-        xy, zs = np_geom.project(model_id, par, qv, tv, xyz)
-        err = np.linalg.norm(xy - uv, axis=-1)
+        # project per camera model (np_geom.project takes a static model id)
+        err = np.zeros(len(obs))
+        zs = np.zeros(len(obs))
+        for mid in np.unique(models):
+            sel = np.nonzero(models == mid)[0]
+            xy_m, z_m = np_geom.project(int(mid), par[sel], qv[sel], tv[sel], xyz[sel])
+            err[sel] = np.linalg.norm(xy_m - uv[sel], axis=-1)
+            zs[sel] = z_m
         bad = (err > max_reproj_error) | (zs <= 0)
         for (pid, image_id, p2d_idx), b in zip(obs, bad):
             if b and pid in self.points3D and (image_id, p2d_idx) in self.points3D[pid].track:

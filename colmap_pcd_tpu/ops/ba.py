@@ -51,6 +51,12 @@ class BAConfig(NamedTuple):
     """Static solve configuration (hashable; part of the jit cache key)."""
 
     model_id: int = 1
+    # distinct camera models present in the problem (static, part of the jit
+    # key). Empty tuple = single-model problem using model_id. With several,
+    # problem.cam_model[k] indexes into this tuple per intrinsics slot and the
+    # residual selects the right projection per observation — mixed-model
+    # scenes get exact per-camera dispatch (bundle_adjustment.cc:1047-1100).
+    model_ids: tuple = ()
     loss_type: int = LOSS_TRIVIAL
     loss_scale: float = 1.0
     max_iterations: int = 25
@@ -77,6 +83,7 @@ class BAProblem(NamedTuple):
     cam_t: Array  # [C,3]
     cam_k: Array  # [C] int32 camera(intrinsics) slot per image
     intr: Array  # [K,12] padded camera params
+    cam_model: Array  # [K] int32 index into cfg.model_ids (0 if single-model)
     points: Array  # [P,3]
     obs_cam: Array  # [N] int32 image slot (0 for padding)
     obs_pt: Array  # [N] int32 point slot (0 for padding)
@@ -107,10 +114,13 @@ class BAResult(NamedTuple):
 # residuals & robust loss
 
 
-def _intr_refine_mask(cfg: BAConfig) -> jnp.ndarray:
-    """[12] mask of intrinsic params allowed to move, per refine flags."""
-    fi, fj, ci, cj = cm._FOCAL_IDX[cfg.model_id]
-    n = cm.NUM_PARAMS[cfg.model_id]
+def _models(cfg: BAConfig) -> tuple:
+    return cfg.model_ids if cfg.model_ids else (cfg.model_id,)
+
+
+def _intr_refine_mask_for(model_id: int, cfg: BAConfig) -> list:
+    fi, fj, ci, cj = cm._FOCAL_IDX[model_id]
+    n = cm.NUM_PARAMS[model_id]
     m = [0.0] * cm.MAX_PARAMS
     for i in range(n):
         if i in (fi, fj):
@@ -119,7 +129,25 @@ def _intr_refine_mask(cfg: BAConfig) -> jnp.ndarray:
             m[i] = 1.0 if cfg.refine_principal else 0.0
         else:
             m[i] = 1.0 if cfg.refine_extra else 0.0
-    return jnp.asarray(m, jnp.float32)
+    return m
+
+
+def _intr_refine_mask(cfg: BAConfig) -> jnp.ndarray:
+    """[M,12] per-model mask of intrinsic params allowed to move."""
+    return jnp.asarray([_intr_refine_mask_for(m, cfg) for m in _models(cfg)], jnp.float32)
+
+
+def _project_dispatch(cfg: BAConfig, kparams, q, t, X, midx):
+    """cm.project dispatched over the (static) set of camera models; midx
+    selects per call. Single-model problems compile to a direct call."""
+    models = _models(cfg)
+    if len(models) == 1:
+        return cm.project(models[0], kparams, q, t, X)
+    outs = [cm.project(m, kparams, q, t, X) for m in models]
+    onehot = jax.nn.one_hot(midx, len(models), dtype=outs[0][1].dtype)
+    xy = sum(onehot[..., i, None] * outs[i][0] for i in range(len(models)))
+    z = sum(onehot[..., i] * outs[i][1] for i in range(len(models)))
+    return xy, z
 
 
 def _sqrt_rho_deriv(sq_norm: Array, cfg: BAConfig) -> Array:
@@ -147,14 +175,19 @@ def _rho(sq_norm: Array, cfg: BAConfig) -> Array:
     raise ValueError(f"unknown loss {cfg.loss_type}")
 
 
-def _reproj_residual(cfg, q, t, kparams, X, uv):
+def _reproj_residual(cfg, q, t, kparams, X, uv, midx=0):
     """2-vector reprojection residual; masked to 0 behind the camera."""
-    xy, z = cm.project(cfg.model_id, kparams, q, t, X)
+    xy, z = _project_dispatch(cfg, kparams, q, t, X, midx)
     r = xy - uv
     ok = (z > 1e-3).astype(r.dtype)
     # clamp the residual so wild outliers cannot produce inf/nan in f32
     r = jnp.clip(r, -1e4, 1e4)
     return r * ok[..., None]
+
+
+def _obs_midx(problem: BAProblem) -> Array:
+    """Per-observation model index into cfg.model_ids."""
+    return problem.cam_model[problem.cam_k[problem.obs_cam]]
 
 
 def reprojection_errors(problem: BAProblem, cfg: BAConfig) -> Array:
@@ -163,7 +196,7 @@ def reprojection_errors(problem: BAProblem, cfg: BAConfig) -> Array:
     t = problem.cam_t[problem.obs_cam]
     k = problem.intr[problem.cam_k[problem.obs_cam]]
     X = problem.points[problem.obs_pt]
-    r = _reproj_residual(cfg, q, t, k, X, problem.obs_uv)
+    r = _reproj_residual(cfg, q, t, k, X, problem.obs_uv, _obs_midx(problem))
     return jnp.linalg.norm(r, axis=-1) * problem.obs_valid
 
 
@@ -180,7 +213,7 @@ def total_cost(
     t = cam_t[problem.obs_cam]
     k = intr[problem.cam_k[problem.obs_cam]]
     X = points[problem.obs_pt]
-    r = _reproj_residual(cfg, q, t, k, X, problem.obs_uv)
+    r = _reproj_residual(cfg, q, t, k, X, problem.obs_uv, _obs_midx(problem))
     sq = jnp.sum(r * r, axis=-1) * problem.obs_valid
     cost = jnp.sum(_rho(sq, cfg) * problem.obs_valid)
     # lidar point-to-plane: w * (n . X + d)
@@ -215,26 +248,27 @@ def _obs_jacobians(problem: BAProblem, cfg: BAConfig, cam_q, cam_t, intr, points
     k = intr[kcam]
     X = points[problem.obs_pt]
     uv = problem.obs_uv
-    kmask = _intr_refine_mask(cfg)
+    midx = problem.cam_model[kcam]
+    kmask_per_obs = _intr_refine_mask(cfg)[midx]  # [N,12]
 
-    def f(dc, dx, dk, q, t, k, X, uv):
+    def f(dc, dx, dk, q, t, k, X, uv, mi, kmask):
         # rotation: left-multiplicative quaternion update; translation: additive
         # (matches the reference's quaternion manifold + subset-manifold tvec,
         # bundle_adjustment.cc:794-803 — and makes tvec-component freezing exact)
         q2 = se3.quat_mul(se3.so3_exp_quat(dc[:3]), q)
         t2 = t + dc[3:]
-        return _reproj_residual(cfg, q2, t2, k + dk * kmask, X + dx, uv)
+        return _reproj_residual(cfg, q2, t2, k + dk * kmask, X + dx, uv, mi)
 
     z6 = jnp.zeros((6,), jnp.float32)
     z3 = jnp.zeros((3,), jnp.float32)
     z12 = jnp.zeros((12,), jnp.float32)
 
-    def per_obs(q, t, k, X, uv):
-        r = f(z6, z3, z12, q, t, k, X, uv)
-        Jc, Jp, Jk = jax.jacfwd(f, argnums=(0, 1, 2))(z6, z3, z12, q, t, k, X, uv)
+    def per_obs(q, t, k, X, uv, mi, kmask):
+        r = f(z6, z3, z12, q, t, k, X, uv, mi, kmask)
+        Jc, Jp, Jk = jax.jacfwd(f, argnums=(0, 1, 2))(z6, z3, z12, q, t, k, X, uv, mi, kmask)
         return r, Jc, Jp, Jk
 
-    r, Jc, Jp, Jk = jax.vmap(per_obs)(q, t, k, X, uv)
+    r, Jc, Jp, Jk = jax.vmap(per_obs)(q, t, k, X, uv, midx, kmask_per_obs)
 
     # robust IRLS sqrt-weighting
     sq = jnp.sum(r * r, axis=-1)
@@ -509,7 +543,7 @@ def _apply_step(cfg, problem, cam_q, cam_t, intr, points, dx_cam, dx_p):
     if cfg.refine_intrinsics:
         K = problem.intr.shape[0]
         dintr = dx_cam[C : C + 2 * K].reshape(K, 12)
-        intr2 = intr + dintr * _intr_refine_mask(cfg)[None, :]
+        intr2 = intr + dintr * _intr_refine_mask(cfg)[problem.cam_model]
     else:
         intr2 = intr
     return q2, t2, intr2, points2
@@ -584,6 +618,7 @@ def make_problem(
     obs_uv,
     *,
     cam_k=None,
+    cam_model=None,
     obs_valid=None,
     track_len: int = 16,
     lidar_plane=None,
@@ -621,18 +656,20 @@ def make_problem(
         obs_valid = np.ones((N,), np.float32)
     obs_valid = np.asarray(obs_valid, np.float32)
 
-    # per-point observation table (only valid observations participate)
+    # per-point observation table (only valid observations participate) —
+    # vectorized group-by: stable-sort obs by point, rank within group
     pt_obs = -np.ones((P, track_len), np.int64)
-    fill = np.zeros((P,), np.int64)
-    for i in range(N):
-        if obs_valid[i] <= 0:
-            continue
-        p = obs_pt[i]
-        assert fill[p] < track_len, (
-            f"point {p} has more than track_len={track_len} observations"
+    vidx = np.nonzero(obs_valid > 0)[0]
+    if vidx.size:
+        pv = obs_pt[vidx]
+        order = np.argsort(pv, kind="stable")
+        ps, io = pv[order], vidx[order]
+        _, starts, counts = np.unique(ps, return_index=True, return_counts=True)
+        assert counts.max() <= track_len, (
+            f"a point has {counts.max()} > track_len={track_len} observations"
         )
-        pt_obs[p, fill[p]] = i
-        fill[p] += 1
+        rank = np.arange(ps.size) - np.repeat(starts, counts)
+        pt_obs[ps, rank] = io
 
     def default(x, shape, val=0.0):
         return np.full(shape, val, np.float32) if x is None else np.asarray(x, np.float32)
@@ -644,6 +681,9 @@ def make_problem(
             np.zeros((C,), np.int32) if cam_k is None else np.asarray(cam_k, np.int32)
         ),
         intr=jnp.asarray(intr),
+        cam_model=jnp.asarray(
+            np.zeros((K,), np.int32) if cam_model is None else np.asarray(cam_model, np.int32)
+        ),
         points=jnp.asarray(points),
         obs_cam=jnp.asarray(obs_cam),
         obs_pt=jnp.asarray(obs_pt),

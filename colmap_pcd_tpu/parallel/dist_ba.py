@@ -66,12 +66,20 @@ def shard_problem(problem: ba_ops.BAProblem, n_shards: int) -> ba_ops.BAProblem:
         s_obs_pt[s, :n] = obs_pt[sel] - s * blk  # local point slot
         s_obs_uv[s, :n] = obs_uv[sel]
         s_obs_valid[s, :n] = 1.0
-        fill = np.zeros(blk, np.int64)
-        for k in range(n):
-            p = s_obs_pt[s, k]
-            if fill[p] < T:
-                s_pt_obs[s, p, fill[p]] = k
-                fill[p] += 1
+        if n == 0:
+            continue
+        pv = s_obs_pt[s, :n]
+        order = np.argsort(pv, kind="stable")
+        ps = pv[order]
+        _, starts, cnts = np.unique(ps, return_index=True, return_counts=True)
+        # a sharded solve must optimize the SAME objective as the local one:
+        # refuse (loudly) rather than silently drop observations beyond T
+        assert cnts.max() <= T, (
+            f"track with {cnts.max()} observations exceeds pt_obs capacity "
+            f"T={T}; rebuild the problem with track_len >= {cnts.max()}"
+        )
+        rank = np.arange(ps.size) - np.repeat(starts, cnts)
+        s_pt_obs[s, ps, rank] = order
 
     def split(x):
         return np.asarray(x).reshape((n_shards, blk) + np.asarray(x).shape[1:])
@@ -82,6 +90,7 @@ def shard_problem(problem: ba_ops.BAProblem, n_shards: int) -> ba_ops.BAProblem:
         cam_t=rep(problem.cam_t),
         cam_k=rep(problem.cam_k),
         intr=rep(problem.intr),
+        cam_model=rep(problem.cam_model),
         points=jnp.asarray(split(problem.points)),
         obs_cam=jnp.asarray(s_obs_cam),
         obs_pt=jnp.asarray(s_obs_pt),
@@ -110,7 +119,7 @@ def solve_distributed(
     sp = shard_problem(problem, n)
 
     specs = ba_ops.BAProblem(
-        cam_q=P(), cam_t=P(), cam_k=P(), intr=P(),
+        cam_q=P(), cam_t=P(), cam_k=P(), intr=P(), cam_model=P(),
         points=P(axis),
         obs_cam=P(axis), obs_pt=P(axis), obs_uv=P(axis), obs_valid=P(axis),
         pt_obs=P(axis), lidar_plane=P(axis), lidar_w=P(axis),

@@ -69,6 +69,8 @@ def get_lib():
         lib.cg_num_nodes.restype = ctypes.c_int64
         lib.cg_num_nodes.argtypes = [ctypes.c_void_p]
         lib.cg_free.argtypes = [ctypes.c_void_p]
+        lib.cg_build_csr.restype = ctypes.c_int64
+        lib.cg_build_csr.argtypes = [c_i64, c_i64, ctypes.c_int64, c_i64, c_i64, c_i64]
         _lib = lib
         return _lib
 
@@ -141,6 +143,35 @@ def pack_key(image_id, feat_idx):
 def unpack_key(key):
     key = np.asarray(key, np.int64)
     return key >> FEAT_BITS, key & ((1 << FEAT_BITS) - 1)
+
+
+def build_csr(keys1: np.ndarray, keys2: np.ndarray):
+    """Bulk CSR adjacency build over packed edge arrays.
+
+    Returns (keys [M] sorted unique, off [M+1], nbr [E2]) where nbr holds
+    neighbor keys grouped by source key (both edge directions). Native C++
+    (cpp/native.cpp cg_build_csr) when available, numpy argsort fallback —
+    this is the bulk replacement for the reference's per-feature C++
+    correspondence walks (src/base/correspondence_graph.h:45-116)."""
+    k1 = np.ascontiguousarray(keys1, np.int64)
+    k2 = np.ascontiguousarray(keys2, np.int64)
+    n = len(k1)
+    if n == 0:
+        return (np.zeros(0, np.int64), np.zeros(1, np.int64), np.zeros(0, np.int64))
+    lib = get_lib()
+    if lib is not None:
+        out_keys = np.empty(2 * n, np.int64)
+        out_off = np.empty(2 * n + 1, np.int64)
+        out_nbr = np.empty(2 * n, np.int64)
+        m = lib.cg_build_csr(_i64(k1), _i64(k2), n, _i64(out_keys), _i64(out_off), _i64(out_nbr))
+        return out_keys[:m].copy(), out_off[: m + 1].copy(), out_nbr
+    src = np.concatenate([k1, k2])
+    dst = np.concatenate([k2, k1])
+    order = np.argsort(src, kind="stable")
+    src, dst = src[order], dst[order]
+    keys, starts = np.unique(src, return_index=True)
+    off = np.concatenate([starts, [len(src)]]).astype(np.int64)
+    return keys, off, dst
 
 
 class NativeCorrGraph:

@@ -246,4 +246,36 @@ int64_t cg_num_nodes(void* handle) {
 
 void cg_free(void* handle) { delete (CorrGraph*)handle; }
 
+// One-shot bulk CSR build over packed (image<<20|feat) edge arrays, exported
+// as flat arrays so Python can run fully vectorized batched queries with zero
+// per-query C calls. Caller allocates out_keys[2n], out_off[2n+1], out_nbr[2n]
+// (upper bounds); returns the number of unique keys M (out_off has M+1
+// entries, out_nbr holds out_off[M] neighbor keys grouped by source key).
+int64_t cg_build_csr(const int64_t* k1, const int64_t* k2, int64_t n_edges,
+                     int64_t* out_keys, int64_t* out_off, int64_t* out_nbr) {
+  std::vector<std::pair<int64_t, int64_t>> dir;
+  dir.resize(2 * (size_t)n_edges);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t i = 0; i < n_edges; i++) {
+    dir[2 * i] = {k1[i], k2[i]};
+    dir[2 * i + 1] = {k2[i], k1[i]};
+  }
+  std::sort(dir.begin(), dir.end());
+  int64_t m = 0;
+  int64_t total = (int64_t)dir.size();
+  out_off[0] = 0;
+  for (int64_t i = 0; i < total; i++) {
+    if (i == 0 || dir[i].first != dir[i - 1].first) {
+      out_keys[m] = dir[i].first;
+      out_off[m] = i;
+      m++;
+    }
+    out_nbr[i] = dir[i].second;
+  }
+  out_off[m] = total;
+  return m;
+}
+
 }  // extern "C"

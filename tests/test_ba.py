@@ -164,6 +164,73 @@ def test_ba_intrinsics_refinement(rng):
     assert abs(f_out - 1000.0) < 1.0, f_out
 
 
+def test_ba_per_camera_intrinsics_mixed_models(rng):
+    """Two cameras with different focal lengths AND different camera models
+    (PINHOLE + SIMPLE_RADIAL) in one problem: per-slot intrinsics refinement
+    must converge each to its own ground truth (the reference parameterizes
+    every camera's own params, bundle_adjustment.cc:1047-1100)."""
+    PINHOLE = cm.MODEL_IDS["PINHOLE"]
+    SIMPLE_RADIAL = cm.MODEL_IDS["SIMPLE_RADIAL"]
+    pts = rng.uniform(-2, 2, (300, 3)).astype(np.float32)
+    qs, ts = [], []
+    for i in range(8):
+        ang = 2 * np.pi * i / 8
+        c = np.array([8 * np.cos(ang), 8 * np.sin(ang), 2.0])
+        q = look_at_quat(c, np.zeros(3))
+        t = -np.asarray(se3.quat_rotate(jnp.asarray(q, jnp.float32), jnp.asarray(c, jnp.float32)))
+        qs.append(q)
+        ts.append(t)
+    qs = np.stack(qs).astype(np.float32)
+    ts = np.stack(ts).astype(np.float32)
+    intr_true = np.stack([
+        cm.pad_params([1000.0, 1000.0, 320.0, 240.0], PINHOLE),
+        cm.pad_params([1450.0, 330.0, 250.0, 0.05], SIMPLE_RADIAL),
+    ])
+    model_ids = (PINHOLE, SIMPLE_RADIAL)
+    cam_model = np.asarray([0, 1], np.int32)
+    cam_k = np.asarray([i % 2 for i in range(8)], np.int32)  # alternate cameras
+    obs_cam, obs_pt, obs_uv = [], [], []
+    for i in range(8):
+        mid = model_ids[cam_k[i]]
+        xy, z = cm.project(
+            mid, jnp.asarray(intr_true[cam_k[i]]),
+            jnp.asarray(qs[i]), jnp.asarray(ts[i]), jnp.asarray(pts),
+        )
+        xy, z = np.asarray(xy), np.asarray(z)
+        for j in range(len(pts)):
+            if z[j] > 0.1:
+                obs_cam.append(i)
+                obs_pt.append(j)
+                obs_uv.append(xy[j])
+    # perturb both focals (and the radial k) and refine with poses/points fixed
+    intr_n = intr_true.copy()
+    intr_n[0, 0] *= 1.03
+    intr_n[0, 1] *= 1.03
+    intr_n[1, 0] *= 0.97
+    prob = ba.make_problem(
+        qs, ts, intr_n, pts,
+        np.asarray(obs_cam, np.int32), np.asarray(obs_pt, np.int32),
+        np.asarray(obs_uv, np.float32),
+        cam_k=cam_k, cam_model=cam_model,
+        pose_fixed=np.ones(8, np.float32),
+        point_fixed=np.ones(len(pts), np.float32),
+        track_len=8,
+    )
+    cfg = ba.BAConfig(
+        model_id=model_ids[0], model_ids=model_ids, max_iterations=30,
+        refine_intrinsics=True, refine_focal=True,
+        refine_principal=False, refine_extra=False,
+    )
+    res = ba.solve(prob, cfg)
+    out = np.asarray(res.intr)
+    assert abs(out[0, 0] - 1000.0) < 1.5, out[0]
+    assert abs(out[0, 1] - 1000.0) < 1.5, out[0]
+    assert abs(out[1, 0] - 1450.0) < 2.0, out[1]
+    # the untouched model-specific extra param stays intact
+    np.testing.assert_allclose(out[1, 3], 0.05, atol=1e-6)
+    assert float(res.final_cost) < float(res.initial_cost) * 1e-3
+
+
 def test_ba_fixed_tvec_components(rng):
     """Frozen tvec components must not move (subset manifold parity)."""
     qs, ts, intr, pts, oc, op, ouv = make_synthetic(rng, n_cams=4, n_pts=100)
