@@ -208,7 +208,12 @@ def _load_mapper_inputs(om, input_path=None):
     db = Database(om.database_path)
     rec = Reconstruction() if input_path in (None, "") else Reconstruction.read(input_path)
     for cid, c in db.cameras().items():
-        rec.add_camera(Camera(cid, c["model_id"], c["width"], c["height"], c["params"]))
+        rec.add_camera(
+            Camera(
+                cid, c["model_id"], c["width"], c["height"], c["params"],
+                prior_focal=bool(c.get("prior_focal", False)),
+            )
+        )
     for iid, im in sorted(db.images().items()):
         kp = db.read_keypoints(iid)
         if iid in rec.images:
@@ -272,6 +277,8 @@ def _mapper_options(om):
         init_min_num_inliers=m.init_min_num_inliers,
         init_max_error=m.init_max_error,
         init_min_tri_angle=m.init_min_tri_angle,
+        init_max_forward_motion=m.init_max_forward_motion,
+        init_max_reg_trials=m.init_max_reg_trials,
         abs_pose_max_error=m.abs_pose_max_error,
         abs_pose_min_num_inliers=m.abs_pose_min_num_inliers,
         abs_pose_min_inlier_ratio=m.abs_pose_min_inlier_ratio,
@@ -299,6 +306,11 @@ def cmd_mapper(argv):
     rec, graph, lmap, priors = _load_mapper_inputs(om, input_path)
     copts = ControllerOptions(
         min_num_matches=om.mapper.min_num_matches,
+        multiple_models=om.mapper.multiple_models,
+        max_num_models=om.mapper.max_num_models,
+        max_model_overlap=om.mapper.max_model_overlap,
+        min_model_size=om.mapper.min_model_size,
+        init_num_trials=om.mapper.init_num_trials,
         snapshot_path=om.mapper.snapshot_path,
         snapshot_images_freq=om.mapper.snapshot_images_freq,
         image_pose_save_folder=om.mapper.image_pose_save_folder,
@@ -306,11 +318,53 @@ def cmd_mapper(argv):
     ctl = IncrementalMapperController(
         rec, graph, _mapper_options(om), copts, lidar_map=lmap, pose_priors=priors
     )
-    ok = ctl.reconstruct()
+    manager = ctl.run()
+    if output_path:
+        manager.write(output_path)
+        print(f"Wrote {manager.size()} model(s) to {output_path}")
+    return 0 if manager.size() > 0 else 1
+
+
+def cmd_hierarchical_mapper(argv):
+    """Cluster the scene, reconstruct leaves, merge (RunHierarchicalMapper,
+    exe/colmap.cc:93-150; controllers/hierarchical_mapper.h:47)."""
+    output_path, leaf_max_num_images, image_overlap = None, 500, 50
+    filtered = []
+    it = iter(argv)
+    for a in it:
+        if a == "--output_path":
+            output_path = next(it)
+        elif a == "--leaf_max_num_images":
+            leaf_max_num_images = int(next(it))
+        elif a == "--image_overlap":
+            image_overlap = int(next(it))
+        else:
+            filtered.append(a)
+    om, _ = _opt(filtered)
+    from .models.controllers import ControllerOptions
+    from .models.hierarchical import SceneClusteringOptions, run_hierarchical_mapper
+
+    rec, graph, lmap, priors = _load_mapper_inputs(om)
+    clustering = SceneClusteringOptions(
+        leaf_max_num_images=leaf_max_num_images, image_overlap=image_overlap
+    )
+    merged = run_hierarchical_mapper(
+        rec,
+        graph,
+        _mapper_options(om),
+        clustering=clustering,
+        lidar_map=lmap,
+        pose_priors=priors,
+        controller_options=ControllerOptions(
+            min_num_matches=om.mapper.min_num_matches,
+            min_model_size=om.mapper.min_model_size,
+        ),
+    )
+    ok = merged.num_reg_images >= 2
     if output_path:
         out = os.path.join(output_path, "0")
-        rec.write(out)
-        print(f"Wrote model to {out}")
+        merged.write(out)
+        print(f"Wrote merged model to {out}")
     return 0 if ok else 1
 
 
@@ -748,6 +802,7 @@ COMMANDS = {
     "vocab_tree_retriever": cmd_vocab_tree_retriever,
     "matches_importer": cmd_matches_importer,
     "mapper": cmd_mapper,
+    "hierarchical_mapper": cmd_hierarchical_mapper,
     "point_triangulator": cmd_point_triangulator,
     "bundle_adjuster": cmd_bundle_adjuster,
     "model_converter": cmd_model_converter,

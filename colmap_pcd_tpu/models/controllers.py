@@ -41,7 +41,9 @@ class ControllerOptions:
     (controllers/incremental_mapper.h:140-220)."""
 
     min_num_matches: int = 15
+    multiple_models: bool = True
     max_num_models: int = 50
+    max_model_overlap: int = 20
     min_model_size: int = 10
     init_num_trials: int = 200
     ba_local_max_refinements: int = 2
@@ -77,6 +79,7 @@ class IncrementalMapperController:
         pose_priors=None,
     ):
         self.rec = rec
+        self.base_rec = rec  # pristine dataset skeleton for multi-model trials
         self.graph = graph
         self.opts = mapper_options or MapperOptions()
         self.copts = controller_options or ControllerOptions()
@@ -91,12 +94,16 @@ class IncrementalMapperController:
             print(f"[mapper] {msg}", file=sys.stderr, flush=True)
 
     # ------------------------------------------------------------------
-    def initialize(self) -> bool:
-        opts = self.opts
+    def _initialize_status(self, init_opts: MapperOptions | None = None) -> str:
+        """Find/verify an init pair and register it. init_opts carries the
+        (possibly relaxed) initialization thresholds. Returns one of
+        "ok" | "no_pair" | "reg_failed" | "empty" — the reference's three
+        distinct bail-outs (controllers/incremental_mapper.cc:649-735)."""
+        opts = init_opts or self.opts
         id1, id2 = self.mapper.find_initial_image_pair(opts)
         if id1 < 0 or id2 < 0:
             self._log("no viable initial image pair (empty database or no matches)")
-            return False
+            return "no_pair"
         self._log(f"initializing with image pair ({id1}, {id2})")
         if opts.if_add_lidar_constraint and self.mapper.lidar_map is not None:
             ok = self.mapper.register_initial_image_pair_by_depth_proj(opts, id1, id2)
@@ -104,17 +111,24 @@ class IncrementalMapperController:
             ok = self.mapper.register_initial_image_pair(opts, id1, id2)
         if not ok:
             self._log("initialization failed")
-            return False
+            return "reg_failed"
         self._log(
             f"initialized: {len(self.rec.points3D)} points, "
             f"{self.rec.num_reg_images} images"
         )
-        if opts.if_add_lidar_constraint:
-            self.mapper.adjust_global_bundle_by_lidar(opts)
+        full = self.opts
+        if full.if_add_lidar_constraint:
+            self.mapper.adjust_global_bundle_by_lidar(full)
         else:
-            self.mapper.adjust_global_bundle(opts)
-        self.mapper.filter_points(opts)
-        return True
+            self.mapper.adjust_global_bundle(full)
+        self.mapper.filter_points(full)
+        self.mapper.filter_images(full)
+        if self.rec.num_reg_images == 0 or len(self.rec.points3D) == 0:
+            return "empty"
+        return "ok"
+
+    def initialize(self, init_opts: MapperOptions | None = None) -> bool:
+        return self._initialize_status(init_opts) == "ok"
 
     def iterative_local_refinement(self, image_id: int):
         """(:106-148): repeat local BA while it keeps changing things."""
@@ -167,30 +181,30 @@ class IncrementalMapperController:
             or len(self.rec.points3D) >= self.copts.ba_global_points_freq + s.num_pts_last_global_ba
         )
 
-    def reconstruct(self) -> bool:
-        """The main loop (Reconstruct, controllers/incremental_mapper.cc:591)."""
+    def _incremental_loop(self):
+        """The per-image registration hot loop with the last-rescue global
+        refinement and the multi-model overlap break
+        (controllers/incremental_mapper.cc:744-869)."""
         from .triangulator import TriangulatorOptions
 
         opts = self.opts
-        if self.rec.num_reg_images == 0 and not self.initialize():
-            return False
-
         topts = TriangulatorOptions(min_angle=opts.filter_min_tri_angle)
         t0 = time.time()
-        while True:
+        reg_next_success, prev_reg_next_success = True, True
+        while reg_next_success:
+            reg_next_success = False
             next_images = self.mapper.find_next_images(opts)
             if not next_images:
                 break
-            success = False
-            for image_id in next_images:
+            for reg_trial, image_id in enumerate(next_images):
                 self._log(
                     f"registering image #{image_id} "
                     f"({self.rec.num_reg_images + 1}) "
                     f"[{self.rec.num_reg_images / max(time.time() - t0, 1e-9):.2f} reg/s]"
                 )
                 with PHASES.phase("register_next_image"):
-                    reg_ok = self.mapper.register_next_image(opts, image_id)
-                if reg_ok:
+                    reg_next_success = self.mapper.register_next_image(opts, image_id)
+                if reg_next_success:
                     self.mapper.clear_lidar_points()
                     with PHASES.phase("triangulate_image"):
                         self.mapper.triangulator.triangulate_image(topts, image_id)
@@ -207,11 +221,32 @@ class IncrementalMapperController:
                         self.write_snapshot()
                     for cb in self.callbacks:
                         cb(image_id)
-                    success = True
                     break
-            if not success:
-                break
-        self.iterative_global_refinement()
+                # abandon a model that cannot grow past the minimum size
+                # after many failed trials (kMinNumInitialRegTrials, :845)
+                if (
+                    reg_trial >= 30
+                    and self.rec.num_reg_images < self.copts.min_model_size
+                ):
+                    return
+            if self.mapper.num_shared_reg_images() >= self.copts.max_model_overlap:
+                return
+            # last-rescue: one global refinement buys one more attempt (:862)
+            if not reg_next_success and prev_reg_next_success:
+                reg_next_success = True
+                prev_reg_next_success = False
+                with PHASES.phase("global_refinement"):
+                    self.iterative_global_refinement()
+            else:
+                prev_reg_next_success = reg_next_success
+
+    def _finish_model(self):
+        """Final global refinement + pose export for the current model."""
+        if (
+            self.rec.num_reg_images >= 2
+            and self.rec.num_reg_images != self.state.num_img_last_global_ba
+        ):
+            self.iterative_global_refinement()
         if self.copts.image_pose_save_folder:
             os.makedirs(self.copts.image_pose_save_folder, exist_ok=True)
             save_image_poses(
@@ -221,7 +256,103 @@ class IncrementalMapperController:
             f"done: {self.rec.num_reg_images} images, {len(self.rec.points3D)} points, "
             f"mean track {self.rec.mean_track_length():.2f}"
         )
+
+    def reconstruct(self) -> bool:
+        """Single-model main loop (Reconstruct,
+        controllers/incremental_mapper.cc:591) on the controller's own rec."""
+        if self.rec.num_reg_images == 0 and not self.initialize():
+            return False
+        self._incremental_loop()
+        self._finish_model()
         return True
+
+    def _reconstruct_trials(self, init_opts, manager) -> None:
+        """The init_num_trials loop over candidate initial pairs, producing
+        models in `manager` (Reconstruct, :591-901)."""
+        from .reconstruction_manager import clone_skeleton
+
+        initial_given = manager.size() > 0
+        assert manager.size() <= 1, "can only resume from a single model"
+        num_images = len(self.base_rec.images)
+        pinned_pair = (
+            init_opts.init_image_id1 in self.base_rec.images
+            and init_opts.init_image_id2 in self.base_rec.images
+            and init_opts.init_image_id2 > 0
+        )
+        for trial in range(self.copts.init_num_trials):
+            if not initial_given or trial > 0:
+                rec = clone_skeleton(self.base_rec)
+                idx = manager.add(rec)
+            else:
+                idx = 0
+                rec = manager.get(0)
+            self.rec = rec
+            self.mapper.begin_reconstruction(rec)
+            self.state = MapperState()
+            if rec.num_reg_images == 0:
+                status = self._initialize_status(init_opts)
+                if status != "ok":
+                    self.mapper.end_reconstruction(discard=True)
+                    manager.delete(idx)
+                    if status == "no_pair" or pinned_pair:
+                        # pairs exhausted at these thresholds (or a manual
+                        # pair, :725) — relaxation (run()) is the next lever
+                        break
+                    # reg_failed/empty: the pair is recorded in
+                    # init_image_pairs, so the next trial picks a new one.
+                    # (The reference breaks on reg_failed; we keep searching —
+                    # its FindInitialImagePair verification makes post-find
+                    # failures rare, but the depth-proj path skips
+                    # verification, so retrying is the robust equivalent.)
+                    continue
+            self._incremental_loop()
+            self._finish_model()
+            min_model_size = min(num_images, self.copts.min_model_size)
+            if (
+                self.copts.multiple_models and rec.num_reg_images < min_model_size
+            ) or rec.num_reg_images == 0:
+                self.mapper.end_reconstruction(discard=True)
+                manager.delete(idx)
+            else:
+                self.mapper.end_reconstruction(discard=False)
+            if (
+                initial_given
+                or not self.copts.multiple_models
+                or manager.size() >= self.copts.max_num_models
+                or self.mapper.num_total_reg_images() >= num_images - 1
+            ):
+                break
+
+    def run(self, manager=None):
+        """Top-level Run (controllers/incremental_mapper.cc:442-493): try the
+        full reconstruction; on total failure relax the init constraints
+        (halve init_min_num_inliers, then init_min_tri_angle) and retry.
+        Returns the ReconstructionManager with all surviving models."""
+        import copy
+
+        from .reconstruction_manager import ReconstructionManager
+
+        if manager is None:
+            manager = ReconstructionManager()
+            if self.rec.num_reg_images > 0:
+                manager.add(self.rec)  # resume from an existing model
+        init_opts = copy.deepcopy(self.opts)
+        self._reconstruct_trials(init_opts, manager)
+        for _ in range(2):  # kNumInitRelaxations
+            if manager.size() > 0:
+                break
+            self._log("relaxing the initialization constraints (inliers/2)")
+            init_opts.init_min_num_inliers //= 2
+            self._reconstruct_trials(init_opts, manager)
+            if manager.size() > 0:
+                break
+            self._log("relaxing the initialization constraints (tri_angle/2)")
+            init_opts.init_min_tri_angle /= 2
+            self._reconstruct_trials(init_opts, manager)
+        best = manager.best_index()
+        if best >= 0:
+            self.rec = manager.get(best)
+        return manager
 
     def write_snapshot(self):
         path = os.path.join(

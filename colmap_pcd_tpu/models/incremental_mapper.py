@@ -141,6 +141,14 @@ class IncrementalMapper:
         self.num_reg_trials: dict[int, int] = {}
         self.filtered_images: set[int] = set()
         self.existing_image_ids: set[int] = set()
+        # cross-model/trial state (persist across BeginReconstruction calls,
+        # sfm/incremental_mapper.h: init_image_pairs_, init_num_reg_trials_,
+        # num_registrations_)
+        self.init_image_pairs: set[tuple[int, int]] = set()
+        self.init_num_reg_trials: dict[int, int] = {}
+        self.num_registrations: dict[int, int] = {}
+        self._prev_init_pair: tuple[int, int] | None = None
+        self._prev_init_geometry = None
         # incremental next-image scoring (visibility pyramid bookkeeping)
         self.visibility = VisibilityIndex(rec, graph)
         # the most recently registered image (center of the spherical global
@@ -293,6 +301,8 @@ class IncrementalMapper:
         matches = self.graph.matches_between(image_id1, image_id2)
         if len(matches) < opts.init_min_num_inliers:
             return False
+        self.init_num_reg_trials[image_id1] = self.init_num_reg_trials.get(image_id1, 0) + 1
+        self.init_num_reg_trials[image_id2] = self.init_num_reg_trials.get(image_id2, 0) + 1
 
         # lidar depth association + world-frame ray-plane intersection
         feat_xy = img1.xys[matches[:, 0]].astype(np.float32)
@@ -344,8 +354,8 @@ class IncrementalMapper:
         if image_id2 in self.pose_priors:
             img2.qvec, img2.tvec = (np.asarray(v, np.float64) for v in self.pose_priors[image_id2])
 
-        self.rec.register_image(image_id1)
-        self.rec.register_image(image_id2)
+        self._register_image_event(image_id1)
+        self._register_image_event(image_id2)
         self.last_registered_id = image_id2
         self.num_reg_trials[image_id1] = self.num_reg_trials.get(image_id1, 0) + 1
         self.num_reg_trials[image_id2] = self.num_reg_trials.get(image_id2, 0) + 1
@@ -373,25 +383,32 @@ class IncrementalMapper:
         matches = self.graph.matches_between(image_id1, image_id2)
         if len(matches) < opts.init_min_num_inliers:
             return False
-        g = two_view.estimate_two_view_geometry(
-            img1.xys[matches[:, 0]].astype(np.float32),
-            img2.xys[matches[:, 1]].astype(np.float32),
-            cam1.padded_params(), cam2.padded_params(),
-            cam1.model_id, cam2.model_id,
-            two_view.TwoViewOptions(max_error=opts.init_max_error),
-        )
-        if g.config != two_view.CALIBRATED or g.qvec is None:
-            return False
-        if len(g.inlier_matches) < opts.init_min_num_inliers:
-            return False
-        if g.tri_angle < math.radians(opts.init_min_tri_angle) / 4:
-            return False
+        self.init_num_reg_trials[image_id1] = self.init_num_reg_trials.get(image_id1, 0) + 1
+        self.init_num_reg_trials[image_id2] = self.init_num_reg_trials.get(image_id2, 0) + 1
+        key = (min(image_id1, image_id2), max(image_id1, image_id2))
+        if self._prev_init_pair == key and self._prev_init_geometry is not None:
+            # verified by find_initial_image_pair (:418 reuses the cache)
+            g = self._prev_init_geometry
+        else:
+            g = two_view.estimate_two_view_geometry(
+                img1.xys[matches[:, 0]].astype(np.float32),
+                img2.xys[matches[:, 1]].astype(np.float32),
+                cam1.padded_params(), cam2.padded_params(),
+                cam1.model_id, cam2.model_id,
+                two_view.TwoViewOptions(max_error=opts.init_max_error),
+            )
+            if g.config != two_view.CALIBRATED or g.qvec is None:
+                return False
+            if len(g.inlier_matches) < opts.init_min_num_inliers:
+                return False
+            if g.tri_angle < math.radians(opts.init_min_tri_angle) / 4:
+                return False
         img1.qvec = np.asarray([1.0, 0, 0, 0])
         img1.tvec = np.zeros(3)
         img2.qvec = np.asarray(g.qvec, np.float64)
         img2.tvec = np.asarray(g.tvec, np.float64)
-        self.rec.register_image(image_id1)
-        self.rec.register_image(image_id2)
+        self._register_image_event(image_id1)
+        self._register_image_event(image_id2)
         self.last_registered_id = image_id2
         # triangulate inliers
         rows = g.inlier_matches[:, 0]
@@ -419,26 +436,150 @@ class IncrementalMapper:
                 self.rec.add_point3D(X[k], [(image_id1, f1), (image_id2, f2)])
         return True
 
-    def find_initial_image_pair(self, opts: MapperOptions) -> tuple[int, int]:
-        """(FindInitialImagePair, :215): first image = most correspondences;
-        second = most matches to the first."""
-        if opts.init_image_id1 in self.rec.images and opts.init_image_id2 in self.rec.images and opts.init_image_id2 > 0:
-            return opts.init_image_id1, opts.init_image_id2
-        ids = sorted(
-            self.rec.images.keys(),
-            key=lambda i: -self.graph.num_correspondences_for_image(i),
+    # ------------------------------------------- multi-model lifecycle
+    def begin_reconstruction(self, rec: Reconstruction):
+        """Attach a (possibly fresh) model, keeping cross-trial state
+        (BeginReconstruction, sfm/incremental_mapper.cc:124-160)."""
+        from .visibility import VisibilityIndex
+
+        self.rec = rec
+        self.triangulator = IncrementalTriangulator(rec, self.graph)
+        self.visibility = VisibilityIndex(rec, self.graph)
+        self.num_reg_trials.clear()
+        self.filtered_images.clear()
+        self._proj_cache.clear()
+        self.existing_image_ids = set(rec.registered_ids)
+        self.last_registered_id = rec.registered_ids[-1] if rec.registered_ids else -1
+        for iid in rec.registered_ids:
+            self.num_registrations[iid] = self.num_registrations.get(iid, 0) + 1
+
+    def end_reconstruction(self, discard: bool):
+        """Release the model; on discard, decrement the shared registration
+        counts so the images become available to later trials
+        (EndReconstruction, sfm/incremental_mapper.cc:162-178)."""
+        if discard:
+            for iid in self.rec.registered_ids:
+                self.num_registrations[iid] = self.num_registrations.get(iid, 1) - 1
+
+    def _register_image_event(self, image_id: int):
+        """(RegisterImageEvent, :1916): register in the current model and bump
+        the cross-model registration counter."""
+        self.rec.register_image(image_id)
+        self.num_registrations[image_id] = self.num_registrations.get(image_id, 0) + 1
+
+    def num_shared_reg_images(self) -> int:
+        """Images of the current model registered in other models too."""
+        return sum(
+            1
+            for iid in self.rec.registered_ids
+            if self.num_registrations.get(iid, 0) > 1
         )
-        if not ids:
-            return -1, -1
-        id1 = opts.init_image_id1 if opts.init_image_id1 in self.rec.images else ids[0]
-        best2, best_m = -1, -1
-        for j in self.rec.images:
-            if j == id1:
+
+    def num_total_reg_images(self) -> int:
+        return sum(1 for v in self.num_registrations.values() if v > 0)
+
+    # ---------------------------------------------------- init pair search
+    def _find_first_initial_images(self, opts: MapperOptions) -> list[int]:
+        """Ranked first-image candidates: prior-focal cameras first, then by
+        correspondence count; skip over-tried or already-registered images
+        (FindFirstInitialImage, sfm/incremental_mapper.cc:1606-1674)."""
+        infos = []
+        for iid in self.rec.images:
+            nc = self.graph.num_correspondences_for_image(iid)
+            if nc == 0:
                 continue
-            m = self.graph.num_matches(id1, j)
-            if m > best_m:
-                best2, best_m = j, m
-        return id1, best2
+            if self.init_num_reg_trials.get(iid, 0) >= opts.init_max_reg_trials:
+                continue
+            if self.num_registrations.get(iid, 0) > 0:
+                continue
+            prior = bool(getattr(self._camera_of(iid), "prior_focal", False))
+            infos.append((not prior, -nc, iid))
+        infos.sort()
+        return [iid for _, _, iid in infos]
+
+    def _find_second_initial_images(self, opts: MapperOptions, image_id1: int) -> list[int]:
+        """Ranked partners of image_id1 with enough matches, not registered
+        elsewhere (FindSecondInitialImage, :1676-1760)."""
+        infos = []
+        for iid2 in self.rec.images:
+            if iid2 == image_id1 or self.num_registrations.get(iid2, 0) > 0:
+                continue
+            m = self.graph.num_matches(image_id1, iid2)
+            if m < opts.init_min_num_inliers:
+                continue
+            prior = bool(getattr(self._camera_of(iid2), "prior_focal", False))
+            infos.append((not prior, -m, iid2))
+        infos.sort()
+        return [iid for _, _, iid in infos]
+
+    def estimate_initial_two_view_geometry(
+        self, opts: MapperOptions, image_id1: int, image_id2: int
+    ) -> bool:
+        """Verify an init candidate pair: enough two-view inliers, bounded
+        forward motion |t_z| < init_max_forward_motion, and sufficient
+        triangulation angle (EstimateInitialTwoViewGeometry, :1947-2003).
+        Caches the verified geometry for register_initial_image_pair."""
+        from . import two_view
+
+        key = (min(image_id1, image_id2), max(image_id1, image_id2))
+        if self._prev_init_pair == key and self._prev_init_geometry is not None:
+            return True
+        matches = self.graph.matches_between(image_id1, image_id2)
+        if len(matches) < opts.init_min_num_inliers:
+            return False
+        img1, img2 = self.rec.images[image_id1], self.rec.images[image_id2]
+        cam1, cam2 = self._camera_of(image_id1), self._camera_of(image_id2)
+        g = two_view.estimate_two_view_geometry(
+            img1.xys[matches[:, 0]].astype(np.float32),
+            img2.xys[matches[:, 1]].astype(np.float32),
+            cam1.padded_params(), cam2.padded_params(),
+            cam1.model_id, cam2.model_id,
+            two_view.TwoViewOptions(max_error=opts.init_max_error),
+            size1=(cam1.width, cam1.height),
+            size2=(cam2.width, cam2.height),
+        )
+        if g.config != two_view.CALIBRATED or g.qvec is None:
+            return False
+        if len(g.inlier_matches) < opts.init_min_num_inliers:
+            return False
+        if abs(float(g.tvec[2])) >= opts.init_max_forward_motion:
+            return False
+        if g.tri_angle <= math.radians(opts.init_min_tri_angle):
+            return False
+        self._prev_init_pair = key
+        self._prev_init_geometry = g
+        return True
+
+    def find_initial_image_pair(self, opts: MapperOptions) -> tuple[int, int]:
+        """(FindInitialImagePair, :215-287): enumerate ranked (first, second)
+        candidates, skip pairs tried in earlier trials, and return the first
+        pair passing the two-view verification gates."""
+        if (
+            opts.init_image_id1 in self.rec.images
+            and opts.init_image_id2 in self.rec.images
+            and opts.init_image_id2 > 0
+        ):
+            return opts.init_image_id1, opts.init_image_id2
+        if opts.init_image_id1 in self.rec.images:
+            ids1 = [opts.init_image_id1]
+        else:
+            ids1 = self._find_first_initial_images(opts)
+        for id1 in ids1:
+            for id2 in self._find_second_initial_images(opts, id1):
+                key = (min(id1, id2), max(id1, id2))
+                if key in self.init_image_pairs:
+                    continue
+                self.init_image_pairs.add(key)
+                if opts.if_add_lidar_constraint and self.lidar_map is not None:
+                    # depth-proj init does not need a verified relative pose;
+                    # the forward-motion/tri-angle gates reject the dominant
+                    # corridor motion this pipeline targets
+                    # (RegisterInitialImagePairByDepthProj seeds scale from
+                    # lidar, not from two-view parallax)
+                    return id1, id2
+                if self.estimate_initial_two_view_geometry(opts, id1, id2):
+                    return id1, id2
+        return -1, -1
 
     # ----------------------------------------------------------- registration
     def find_next_images(self, opts: MapperOptions) -> list[int]:
@@ -550,7 +691,7 @@ class IncrementalMapper:
         if image_id in self.pose_priors:
             img.qvec, img.tvec = (np.asarray(v, np.float64) for v in self.pose_priors[image_id])
 
-        self.rec.register_image(image_id)
+        self._register_image_event(image_id)
         self.last_registered_id = image_id
         # continue tracks for inliers
         mask = np.asarray(res.inlier_mask)[: len(tri_uv)]
@@ -981,6 +1122,7 @@ class IncrementalMapper:
                 opts.min_focal_length_ratio, opts.max_focal_length_ratio, opts.max_extra_param
             ) or img.num_points3D() == 0:
                 self.rec.deregister_image(iid)
+                self.num_registrations[iid] = self.num_registrations.get(iid, 1) - 1
                 self.filtered_images.add(iid)
                 n += 1
         return n

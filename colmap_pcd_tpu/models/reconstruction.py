@@ -35,6 +35,7 @@ class Camera:
     width: int
     height: int
     params: np.ndarray  # raw (unpadded) params
+    prior_focal: bool = False  # focal length from EXIF/specs DB (HasPriorFocalLength)
 
     @property
     def model_name(self) -> str:

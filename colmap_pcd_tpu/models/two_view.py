@@ -7,8 +7,9 @@ three batched device programs (ops/ransac.py).
 
 Configurations (two_view_geometry.h:48-66):
   DEGENERATE, CALIBRATED, UNCALIBRATED, PLANAR, PANORAMIC,
-  PLANAR_OR_PANORAMIC, WATERMARK (not detected — needs border heuristics,
-  off by default in the reference), MULTIPLE (not detected).
+  PLANAR_OR_PANORAMIC, WATERMARK (border translation heuristic,
+  DetectWatermark), MULTIPLE (iterative multi-geometry extraction,
+  EstimateMultiple).
 """
 
 from __future__ import annotations
@@ -44,6 +45,13 @@ class TwoViewOptions:
     # E must explain nearly as many inliers as F to call it calibrated
     min_E_F_inlier_ratio: float = 0.95
     compute_relative_pose: bool = True
+    # watermark detection (two_view_geometry.h:93-102): a pure 2D translation
+    # among border inliers marks a watermark-induced degenerate pair
+    detect_watermark: bool = True
+    watermark_min_inlier_ratio: float = 0.7
+    watermark_border_size: float = 0.1
+    # iterative multi-model extraction (EstimateMultiple)
+    multiple_models: bool = False
 
 
 @dataclass
@@ -59,6 +67,77 @@ class TwoViewGeometry:
     tri_angle: float = 0.0
 
 
+def detect_watermark(
+    uv1: np.ndarray,
+    uv2: np.ndarray,
+    inlier_mask: np.ndarray,
+    size1: tuple[int, int],
+    size2: tuple[int, int],
+    opts: TwoViewOptions = TwoViewOptions(),
+) -> bool:
+    """Watermark heuristic (two_view_geometry.cc DetectWatermark): if most
+    inliers sit in the image borders of BOTH images and are explained by a
+    pure 2D translation, the geometry is a watermark artifact. The
+    translation-RANSAC is one vectorized all-pairs count (every inlier's
+    displacement is a hypothesis) instead of a sequential sampler."""
+    sel = np.nonzero(inlier_mask)[0]
+    m = sel.size
+    if m == 0:
+        return False
+    w1, h1 = size1
+    w2, h2 = size2
+    b1 = opts.watermark_border_size * float(np.hypot(w1, h1))
+    b2 = opts.watermark_border_size * float(np.hypot(w2, h2))
+    p1, p2 = uv1[sel], uv2[sel]
+
+    def outside(p, b, w, h):
+        return (p[:, 0] < b) | (p[:, 0] > w - b) | (p[:, 1] < b) | (p[:, 1] > h - b)
+
+    in_border = outside(p1, b1, w1, h1) & outside(p2, b2, w2, h2)
+    if in_border.sum() / m < opts.watermark_min_inlier_ratio:
+        return False
+    t = p2 - p1  # [m,2] candidate translations
+    # all-pairs translation consensus (bounded to 512 hypotheses)
+    hyp = t if m <= 512 else t[np.linspace(0, m - 1, 512).astype(int)]
+    d2 = np.sum((t[None, :, :] - hyp[:, None, :]) ** 2, axis=-1)  # [H,m]
+    counts = (d2 <= opts.max_error**2).sum(axis=1)
+    return counts.max() / m >= opts.watermark_min_inlier_ratio
+
+
+def estimate_two_view_geometry_multiple(
+    uv1, uv2, params1, params2, model_id1, model_id2,
+    opts: TwoViewOptions = TwoViewOptions(), seed: int = 0,
+) -> TwoViewGeometry:
+    """EstimateMultiple (two_view_geometry.cc): iteratively estimate a
+    geometry, carve out its inliers, repeat; >1 sufficiently supported
+    geometries -> config MULTIPLE with the union of inliers."""
+    remaining = np.arange(uv1.shape[0])
+    geometries: list[TwoViewGeometry] = []
+    sub_opts = TwoViewOptions(**{**opts.__dict__, "multiple_models": False, "detect_watermark": False})
+    while remaining.size >= 8:
+        g = estimate_two_view_geometry(
+            uv1[remaining], uv2[remaining], params1, params2,
+            model_id1, model_id2, sub_opts, seed=seed + len(geometries),
+        )
+        if g.config == DEGENERATE or len(g.inlier_matches) < opts.min_num_inliers:
+            break
+        g.inlier_matches = np.stack(
+            [remaining[g.inlier_matches[:, 0]]] * 2, axis=-1
+        ).astype(np.int32)
+        geometries.append(g)
+        keep = np.ones(remaining.size, bool)
+        keep[np.isin(remaining, g.inlier_matches[:, 0])] = False
+        remaining = remaining[keep]
+    if not geometries:
+        return TwoViewGeometry()
+    if len(geometries) == 1:
+        return geometries[0]
+    out = geometries[0]
+    out.config = MULTIPLE
+    out.inlier_matches = np.concatenate([g.inlier_matches for g in geometries])
+    return out
+
+
 def estimate_two_view_geometry(
     uv1: np.ndarray,  # [N,2] pixel coords of matched features in image 1
     uv2: np.ndarray,  # [N,2] matched coords in image 2 (row-aligned with uv1)
@@ -68,8 +147,14 @@ def estimate_two_view_geometry(
     model_id2: int,
     opts: TwoViewOptions = TwoViewOptions(),
     seed: int = 0,
+    size1: tuple[int, int] | None = None,  # (width, height) for watermark test
+    size2: tuple[int, int] | None = None,
 ) -> TwoViewGeometry:
     """uv1[i] <-> uv2[i] are matched pairs (from ops/matching)."""
+    if opts.multiple_models:
+        return estimate_two_view_geometry_multiple(
+            uv1, uv2, params1, params2, model_id1, model_id2, opts, seed
+        )
     N = uv1.shape[0]
     out = TwoViewGeometry()
     if N < 8:
@@ -122,6 +207,15 @@ def estimate_two_view_geometry(
     rows = np.nonzero(best_mask)[0]
     out.inlier_matches = np.stack([rows, rows], axis=-1).astype(np.int32)
     out.config = config
+
+    if (
+        opts.detect_watermark
+        and size1 is not None
+        and size2 is not None
+        and detect_watermark(np.asarray(uv1), np.asarray(uv2), best_mask, size1, size2, opts)
+    ):
+        out.config = WATERMARK
+        return out
 
     if opts.compute_relative_pose and config == CALIBRATED:
         q, t, ang, z1, z2 = _pose_recovery(

@@ -100,7 +100,13 @@ class MapperConfig:
     local_ba_num_images: int = 6
     filter_max_reproj_error: float = 8.0
     filter_min_tri_angle: float = 1.5
+    multiple_models: bool = True
+    max_num_models: int = 50
+    max_model_overlap: int = 20
     min_model_size: int = 10
+    init_num_trials: int = 200
+    init_max_forward_motion: float = 0.95
+    init_max_reg_trials: int = 2
     snapshot_path: str = ""
     snapshot_images_freq: int = 0
     num_threads: int = -1
