@@ -736,12 +736,40 @@ def cmd_stereo_fusion(argv):
 
 
 def cmd_poisson_mesher(argv):
-    print(
-        "Meshing is not implemented in this TPU build (lib/PoissonRecon /"
-        " CGAL territory; planned). Use the fused.ply with an external mesher"
-        " (e.g. open3d / meshlab Poisson)."
+    """Fused oriented point cloud -> surface mesh (RunPoissonMesher,
+    src/exe/colmap.cc; mvs/meshing.h:106-125). Spectral Poisson solve on the
+    TPU + marching tetrahedra (ops/meshing.py)."""
+    input_path, output_path = None, None
+    depth, trim, point_weight = 7, 7.0, 1.0
+    it = iter(argv)
+    for a in it:
+        if a == "--input_path":
+            input_path = next(it)
+        elif a == "--output_path":
+            output_path = next(it)
+        elif a == "--PoissonMeshing.depth":
+            depth = int(next(it))
+        elif a == "--PoissonMeshing.trim":
+            trim = float(next(it))
+        elif a == "--PoissonMeshing.point_weight":
+            point_weight = float(next(it))
+    if not input_path or not output_path:
+        print("usage: poisson_mesher --input_path fused.ply --output_path meshed.ply")
+        return 1
+    from .io import ply as ply_io
+    from .ops.meshing import PoissonOptions, poisson_mesh
+
+    data = ply_io.read_ply(input_path)
+    if data.normals is None:
+        print(f"{input_path} has no normals; run stereo_fusion first")
+        return 1
+    verts, faces = poisson_mesh(
+        data.xyz, data.normals,
+        PoissonOptions(depth=depth, trim=trim, point_weight=point_weight),
     )
-    return 1
+    ply_io.write_ply_mesh(output_path, verts, faces)
+    print(f"Meshed {len(data.xyz)} points -> {len(verts)} vertices, {len(faces)} faces: {output_path}")
+    return 0
 
 
 def cmd_database_creator(argv):

@@ -136,3 +136,88 @@ def write_ply(
         else:
             cols = np.stack([c.astype(np.float64) for _, _, c in fields], axis=-1)
             np.savetxt(f, cols, fmt="%.6f")
+
+
+def write_ply_mesh(
+    path: str,
+    verts: np.ndarray,
+    faces: np.ndarray,
+    colors: np.ndarray | None = None,
+    binary: bool = True,
+) -> None:
+    """Triangle mesh writer (vertex + face elements), as WriteBinaryPlyMesh
+    (src/util/ply.cc) produces for the meshers."""
+    verts = np.asarray(verts, np.float32)
+    faces = np.asarray(faces, np.int32)
+    nv, nf = verts.shape[0], faces.shape[0]
+    hdr = ["ply"]
+    hdr.append("format binary_little_endian 1.0" if binary else "format ascii 1.0")
+    hdr.append(f"element vertex {nv}")
+    hdr += ["property float x", "property float y", "property float z"]
+    if colors is not None:
+        hdr += ["property uchar red", "property uchar green", "property uchar blue"]
+    hdr.append(f"element face {nf}")
+    hdr.append("property list uchar int vertex_index")
+    hdr.append("end_header")
+    with open(path, "wb") as f:
+        f.write(("\n".join(hdr) + "\n").encode("ascii"))
+        if binary:
+            if colors is None:
+                f.write(verts.astype("<f4").tobytes())
+            else:
+                dt = np.dtype([("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
+                               ("r", "u1"), ("g", "u1"), ("b", "u1")])
+                rec = np.empty(nv, dt)
+                rec["x"], rec["y"], rec["z"] = verts.T
+                rec["r"], rec["g"], rec["b"] = np.asarray(colors, np.uint8).T
+                f.write(rec.tobytes())
+            fdt = np.dtype([("n", "u1"), ("a", "<i4"), ("b", "<i4"), ("c", "<i4")])
+            frec = np.empty(nf, fdt)
+            frec["n"] = 3
+            frec["a"], frec["b"], frec["c"] = faces.T
+            f.write(frec.tobytes())
+        else:
+            for v in verts:
+                f.write(f"{v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n".encode())
+            for t in faces:
+                f.write(f"3 {t[0]} {t[1]} {t[2]}\n".encode())
+
+
+def read_ply_mesh(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Read back (verts, faces) from a mesh written by write_ply_mesh
+    (binary little endian, uchar-count int32-index face lists)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    end = data.find(b"end_header")
+    header_end = data.find(b"\n", end) + 1
+    header = data[:header_end].decode("ascii").splitlines()
+    nv = nf = 0
+    vprops = 0
+    cur = None
+    binary = True
+    for line in header:
+        tok = line.split()
+        if not tok:
+            continue
+        if tok[0] == "format":
+            binary = "binary" in tok[1]
+        elif tok[0] == "element":
+            cur = tok[1]
+            if cur == "vertex":
+                nv = int(tok[2])
+            elif cur == "face":
+                nf = int(tok[2])
+        elif tok[0] == "property" and cur == "vertex" and tok[1] != "list":
+            vprops += 1
+    if binary:
+        vdt = np.dtype([(f"p{i}", "<f4" if i < 3 else "u1") for i in range(vprops)])
+        varr = np.frombuffer(data, vdt, count=nv, offset=header_end)
+        verts = np.stack([varr["p0"], varr["p1"], varr["p2"]], axis=-1)
+        fdt = np.dtype([("n", "u1"), ("a", "<i4"), ("b", "<i4"), ("c", "<i4")])
+        farr = np.frombuffer(data, fdt, count=nf, offset=header_end + nv * vdt.itemsize)
+        faces = np.stack([farr["a"], farr["b"], farr["c"]], axis=-1).astype(np.int32)
+    else:
+        lines = data[header_end:].decode("ascii").splitlines()
+        verts = np.array([[float(x) for x in l.split()[:3]] for l in lines[:nv]], np.float32)
+        faces = np.array([[int(x) for x in l.split()[1:4]] for l in lines[nv : nv + nf]], np.int32)
+    return verts, faces
