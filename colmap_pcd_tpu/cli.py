@@ -432,6 +432,51 @@ def cmd_bundle_adjuster(argv):
     return 0 if ok else 1
 
 
+def cmd_rig_bundle_adjuster(argv):
+    """Rig-constrained bundle adjustment (reference: src/exe/sfm.cc
+    RunRigBundleAdjuster): image poses are re-composed from per-snapshot rig
+    poses and per-rig-camera relative poses, then jointly optimized."""
+    input_path = output_path = rig_config_path = None
+    refine_rel = True
+    estimate_rig = False
+    it = iter(argv)
+    for a in it:
+        if a == "--input_path":
+            input_path = next(it)
+        elif a == "--output_path":
+            output_path = next(it)
+        elif a == "--rig_config_path":
+            rig_config_path = next(it)
+        elif a == "--RigBundleAdjustment.refine_relative_poses":
+            refine_rel = next(it) in ("1", "true", "True")
+        elif a == "--estimate_rig_poses_from_images":
+            estimate_rig = next(it) in ("1", "true", "True")
+    if not (input_path and output_path and rig_config_path):
+        print("usage: rig_bundle_adjuster --input_path M --output_path O "
+              "--rig_config_path rig.json [--RigBundleAdjustment.refine_relative_poses 0|1]")
+        return 1
+    from .models.camera_rig import read_rig_config
+    from .models.reconstruction import Reconstruction
+    from .models.rig_adjuster import RigBAOptions, RigBundleAdjuster
+
+    rec = Reconstruction.read(input_path)
+    rigs = read_rig_config(rig_config_path, rec)
+    if estimate_rig:
+        for rig in rigs:
+            rig.compute_relative_poses(rec)
+    for i, rig in enumerate(rigs):
+        print(f"rig {i}: {rig.num_cameras()} cameras, {rig.num_snapshots()} snapshots")
+    adj = RigBundleAdjuster(RigBAOptions(refine_relative_poses=refine_rel))
+    ok = adj.solve(rec, rigs)
+    if ok:
+        print(f"rig BA: cost {adj.initial_cost:.4g} -> {adj.final_cost:.4g} "
+              f"in {adj.iterations} iterations")
+        rec.write(output_path)
+    else:
+        print("rig BA failed")
+    return 0 if ok else 1
+
+
 def cmd_model_converter(argv):
     input_path = output_path = None
     output_type = "BIN"
@@ -833,6 +878,7 @@ COMMANDS = {
     "hierarchical_mapper": cmd_hierarchical_mapper,
     "point_triangulator": cmd_point_triangulator,
     "bundle_adjuster": cmd_bundle_adjuster,
+    "rig_bundle_adjuster": cmd_rig_bundle_adjuster,
     "model_converter": cmd_model_converter,
     "model_analyzer": cmd_model_analyzer,
     "model_transformer": cmd_model_transformer,

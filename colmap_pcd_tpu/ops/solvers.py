@@ -386,3 +386,61 @@ def homography_transfer_error(H: Array, uv1: Array, uv2: Array) -> Array:
     w = jnp.where(jnp.abs(y[..., 2:3]) < 1e-12, 1e-12, y[..., 2:3])
     p = y[..., :2] / w
     return jnp.sum((p - uv2) ** 2, axis=-1)
+
+
+def gp6p_dlt(rays_o: Array, rays_d: Array, X: Array, mask: Array | None = None) -> tuple[Array, Array]:
+    """Generalized absolute pose (world -> rig) from >= 6 ray/point matches.
+
+    Re-design of the reference's GP3P minimal solver
+    (src/estimators/generalized_absolute_pose.{h,cc}): instead of Kneip's
+    degree-8 polynomial (complex roots — hostile to batched XLA), use the
+    linear generalized-DLT constraint
+
+        (R X_i + t - o_i) x d_i = 0,
+
+    3 equations (rank 2) per correspondence, linear in [vec(R); t]. A batched
+    least-squares solve + SO(3) projection + linear re-solve of t given R.
+    rays_o/rays_d [n,3]: ray origins/unit directions in the RIG frame;
+    X [n,3] world points; optional weight mask [n].
+    """
+    n = X.shape[0]
+    w = jnp.ones((n,), X.dtype) if mask is None else mask
+    # cross-product matrix rows of d: [d]_x (R X + t) = [d]_x o
+    zero = jnp.zeros((n,), X.dtype)
+    dx, dy, dz = rays_d[:, 0], rays_d[:, 1], rays_d[:, 2]
+    Dx = jnp.stack(
+        [
+            jnp.stack([zero, -dz, dy], -1),
+            jnp.stack([dz, zero, -dx], -1),
+            jnp.stack([-dy, dx, zero], -1),
+        ],
+        axis=1,
+    )  # [n,3,3]
+    # unknown x = [r row-major (9); t (3)]; [d]_x R X = ([d]_x) @ (X kron I) ...
+    # row blocks: A_i = [ [d]_x * kron(X_i^T), [d]_x ], b_i = [d]_x o_i
+    kron = jnp.einsum("nab,nc->nabc", Dx, X).reshape(n, 3, 9)  # d/dR entries
+    A = jnp.concatenate([kron, Dx], axis=-1)  # [n,3,12]
+    b = jnp.einsum("nab,nb->na", Dx, rays_o)  # [n,3]
+    ws = jnp.sqrt(jnp.maximum(w, 0.0))[:, None, None]
+    A = (A * ws).reshape(3 * n, 12)
+    bf = (b * ws[:, :, 0]).reshape(3 * n)
+    # least squares via normal equations (12x12, tiny)
+    AtA = A.T @ A + 1e-9 * jnp.eye(12, dtype=A.dtype)
+    Atb = A.T @ bf
+    x = jnp.linalg.solve(AtA, Atb)
+    M = x[:9].reshape(3, 3)
+    t_raw = x[9:]
+    # project to SO(3) (det +1), preserving the least-squares scale for t
+    U, sv, Vt = jnp.linalg.svd(M)
+    d = jnp.sign(jnp.linalg.det(U @ Vt))
+    d = jnp.where(d == 0, 1.0, d)
+    one = jnp.ones((), M.dtype)
+    R = U @ jnp.diag(jnp.stack([one, one, d])) @ Vt
+    # re-solve t linearly with R fixed: [d]_x t = [d]_x (o - R X)
+    rhs = jnp.einsum("nab,nb->na", Dx, rays_o - X @ R.T)  # [n,3]
+    Dw = Dx * ws
+    T_A = Dw.reshape(3 * n, 3)
+    T_b = (rhs * ws[:, :, 0]).reshape(3 * n)
+    TtT = T_A.T @ T_A + 1e-9 * jnp.eye(3, dtype=A.dtype)
+    t = jnp.linalg.solve(TtT, T_A.T @ T_b)
+    return se3.rotmat_to_quat(R), t
