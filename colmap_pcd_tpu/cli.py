@@ -656,13 +656,42 @@ def cmd_model_splitter(argv):
 
 
 def cmd_model_orientation_aligner(argv):
-    p = _paths(argv, "input_path", "output_path")
-    from .models.model_tools import align_to_principal_axes
+    """RunModelOrientationAligner (exe/model.cc:735-796): align the model's
+    vertical/horizontal axes by MANHATTAN-WORLD (per-image vanishing points)
+    or IMAGE-ORIENTATION (gravity consensus); PRINCIPAL (PCA axes) kept as
+    a third, image-free method."""
+    p = _paths(
+        argv, "input_path", "output_path", "image_path", "method", "max_image_size"
+    )
+    from .models import coordinate_frame as cf
     from .models.reconstruction import Reconstruction
+    from .ops import np_geom
 
-    rec = align_to_principal_axes(Reconstruction.read(p["input_path"]))
+    method = (p.get("method") or "manhattan-world").lower()
+    rec = Reconstruction.read(p["input_path"])
+    if method == "manhattan-world":
+        if not p.get("image_path"):
+            print("ERROR: MANHATTAN-WORLD alignment needs --image_path")
+            return 1
+        opts = cf.ManhattanWorldFrameEstimationOptions(
+            max_image_size=int(p.get("max_image_size") or 1024)
+        )
+        frame = cf.estimate_manhattan_world_frame(opts, rec, p["image_path"])
+        R = cf.orientation_aligner_rotation(frame)
+        rec.transform(np_geom.rotmat_to_quat(R), np.zeros(3), 1.0)
+    elif method == "image-orientation":
+        g = cf.estimate_gravity_vector_from_image_orientation(rec)
+        R = cf.rotation_from_unit_vectors(g, np.asarray([0.0, 1.0, 0.0]))
+        rec.transform(np_geom.rotmat_to_quat(R), np.zeros(3), 1.0)
+    elif method == "principal":
+        from .models.model_tools import align_to_principal_axes
+
+        rec = align_to_principal_axes(rec)
+    else:
+        print("ERROR: Invalid `method` - 'MANHATTAN-WORLD', 'IMAGE-ORIENTATION' or 'PRINCIPAL'")
+        return 1
     rec.write(p["output_path"])
-    print("Aligned model orientation")
+    print(f"Aligned model orientation ({method})")
     return 0
 
 

@@ -85,14 +85,25 @@ def run_feature_extractor(
     model_id = cm.MODEL_IDS[reader.camera_model]
 
     def produce(name):
-        img = image_utils.imread_gray(os.path.join(image_path, name))
+        path = os.path.join(image_path, name)
+        img = image_utils.imread_gray(path)
         H0, W0 = img.shape
+        # EXIF-based focal prior (ImageReader + camera_database semantics,
+        # base/image_reader.cc / util/bitmap.cc ExifFocalLength)
+        exif_focal = None
+        if not reader.camera_params:
+            from ..utils.camera_database import exif_focal_length
+
+            exif_focal = exif_focal_length(path, W0, H0)
         img, scale = image_utils.resize_max(img, extraction.max_image_size)
-        return img, scale, (W0, H0)
+        return img, scale, (W0, H0), exif_focal
 
     def device_stage(name, data):
-        img, scale, (W0, H0) = data
+        img, scale, (W0, H0), exif_focal = data
         kp, desc, score, valid = sift_ops.extract(jnp.asarray(img), opts)
+        from ..utils.flops import FLOPS
+
+        FLOPS.add(sift_ops.extract_flops(img.shape[0], img.shape[1], opts), "sift")
         kp = np.asarray(kp)
         desc = np.asarray(sift_ops.descriptors_to_uint8(desc))
         valid = np.asarray(valid)
@@ -100,25 +111,29 @@ def run_feature_extractor(
         desc = desc[valid]
         if scale != 1.0:
             kp[:, :3] /= scale  # positions + scale back to original resolution
-        return kp, desc, (W0, H0)
+        return kp, desc, (W0, H0), exif_focal
 
     def consume(name, result):
-        kp, desc, (W0, H0) = result
+        kp, desc, (W0, H0), exif_focal = result
         key = (reader.camera_model, W0, H0) if reader.single_camera else (name,)
         if key not in camera_ids:
+            prior_focal = False
             if reader.camera_params:
                 params = [float(x) for x in reader.camera_params.split(",")]
+                prior_focal = True
             else:
-                f = reader.default_focal_factor * max(W0, H0)
+                f = exif_focal or reader.default_focal_factor * max(W0, H0)
+                prior_focal = exif_focal is not None
                 n = cm.NUM_PARAMS[model_id]
-                params = [f, f, W0 / 2, H0 / 2][: max(4, n)]
                 fi, fj, ci, cj = cm._FOCAL_IDX[model_id]
                 params = [0.0] * n
                 params[fi] = f
                 params[fj] = f
                 params[ci] = W0 / 2
                 params[cj] = H0 / 2
-            camera_ids[key] = db.add_camera(model_id, W0, H0, params)
+            camera_ids[key] = db.add_camera(
+                model_id, W0, H0, params, prior_focal=prior_focal
+            )
         cid = camera_ids[key]
         iid = db.add_image(name, cid)
         db.write_keypoints(iid, kp[:, :4])
@@ -182,6 +197,9 @@ class _MatchWorker:
             idx, ok = pallas_kernels.match_descriptors_pallas(d1, d2, v1, v2, mopts)
         else:
             idx, ok = matching_ops.match_descriptors(d1, d2, v1, v2, mopts)
+        from ..utils.flops import FLOPS
+
+        FLOPS.add(2.0 * d1.shape[0] * d2.shape[0] * 128, "matching")
         pairs = matching_ops.matches_to_pairs(idx, ok)
         if len(pairs) < self.cfg.min_num_inliers:
             self.db.write_matches(id1, id2, np.zeros((0, 2), np.uint32))

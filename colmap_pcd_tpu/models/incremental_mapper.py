@@ -159,6 +159,9 @@ class IncrementalMapper:
         # per-image depth-projection cache for the current BA round
         # (lidar_searched_image_ids_, bundle_adjustment.h:189)
         self._proj_cache: dict[int, dict[int, tuple[np.ndarray, np.ndarray]]] = {}
+        # optional (mesh, axis): route every BA solve through the
+        # distributed Schur solver (parallel/dist_ba.py) over this mesh
+        self.dist_mesh: tuple | None = None
 
     # ------------------------------------------------------------------ lidar
     def clear_lidar_points(self):
@@ -905,12 +908,13 @@ class IncrementalMapper:
 
         self._solve_ba(
             opts,
-            reg,
+            variable_imgs,
             variable_pids,
             pose_fixed_ids,
             {},
             max_iterations=opts.ba_global_max_num_iterations,
             lidar_assocs=self.rec.lidar_points_in_global if opts.if_add_lidar_constraint else {},
+            variable_obs_only=True,
         )
         # bump global_opt_num (:1483-1487)
         for pid in self.rec.lidar_points_in_global:
@@ -949,15 +953,23 @@ class IncrementalMapper:
         refine_focal: bool = True,
         refine_principal: bool = False,
         refine_extra: bool = True,
+        variable_obs_only: bool = False,
     ):
         """Build the padded BAProblem and run the device solve, then write
-        results back into the reconstruction."""
+        results back into the reconstruction.
+
+        variable_obs_only=True restricts even bundle images to observations of
+        variable points — the spherical global BA semantics, where
+        AddImageInSphereToProblem skips points with IfInSphere()==false
+        (optim/bundle_adjustment.cc:694-806). This bounds the global problem
+        by the sphere rather than the whole scene.
+        """
         rec = self.rec
         bundle_set = set(bundle_images)
         # collect observations, vectorized per image: bundle images observe
-        # all their points; other registered images contribute only their
-        # observations of variable points and enter with fixed poses
-        # (AddImageToProblem/AddPointToProblem semantics)
+        # all their points (unless variable_obs_only); other registered images
+        # contribute only their observations of variable points and enter with
+        # fixed poses (AddImageToProblem/AddPointToProblem semantics)
         img_ids: list[int] = list(bundle_images)
         var_arr = np.fromiter(variable_pids, np.int64, len(variable_pids))
         var_arr.sort()
@@ -965,23 +977,32 @@ class IncrementalMapper:
         for iid in bundle_images:
             img = rec.images[iid]
             f = np.nonzero(img.point3D_ids != INVALID_POINT3D)[0]
+            if f.size and variable_obs_only and var_arr.size:
+                pids_f = img.point3D_ids[f]
+                pos = np.searchsorted(var_arr, pids_f)
+                isvar = (pos < var_arr.size) & (
+                    var_arr[np.minimum(pos, var_arr.size - 1)] == pids_f
+                )
+                f = f[isvar]
             if f.size:
                 obs_iid_parts.append(np.full(f.size, iid, np.int64))
                 obs_pid_parts.append(img.point3D_ids[f])
                 obs_uv_parts.append(img.xys[f])
-        for iid in rec.registered_ids if var_arr.size else []:
-            if iid in bundle_set:
+        # out-of-bundle observations of variable points, found by walking the
+        # variable points' own tracks (O(problem size), not O(scene size) —
+        # the track already lists every (image, feature) observation)
+        extra_f: dict[int, list[int]] = {}
+        pts3D_map = rec.points3D
+        for pid in var_arr:
+            p = pts3D_map.get(int(pid))
+            if p is None:
                 continue
+            for iid, fidx in p.track:
+                if iid not in bundle_set and rec.images[iid].registered:
+                    extra_f.setdefault(iid, []).append(fidx)
+        for iid, fl in extra_f.items():
             img = rec.images[iid]
-            f = np.nonzero(img.point3D_ids != INVALID_POINT3D)[0]
-            if f.size == 0:
-                continue
-            pids_f = img.point3D_ids[f]
-            pos = np.searchsorted(var_arr, pids_f)
-            isvar = (pos < var_arr.size) & (var_arr[np.minimum(pos, var_arr.size - 1)] == pids_f)
-            f = f[isvar]
-            if f.size == 0:
-                continue
+            f = np.asarray(fl, np.int64)
             img_ids.append(iid)
             pose_fixed_ids = pose_fixed_ids | {iid}
             obs_iid_parts.append(np.full(f.size, iid, np.int64))
@@ -1084,7 +1105,19 @@ class IncrementalMapper:
             # (~75 MB) as track-length buckets grow on big scenes
             point_chunk=max(32, (512 * 256) // (T * T)),
         )
-        out = ba_ops.solve(prob, cfg)
+        if self.dist_mesh is not None:
+            from ..parallel import dist_ba
+
+            mesh, axis = self.dist_mesh
+            out = dist_ba.solve_distributed(prob, cfg, mesh, axis)
+        else:
+            out = ba_ops.solve(prob, cfg)
+        from ..utils.flops import FLOPS, ba_solve_flops
+
+        FLOPS.add(
+            ba_solve_flops(N, P, C, intr.shape[0], T, int(out.iterations)),
+            "ba_solve",
+        )
         if not np.isfinite(float(out.final_cost)) or float(out.final_cost) > float(out.initial_cost):
             return
         q_out = np.asarray(out.cam_q, np.float64)

@@ -77,9 +77,13 @@ def _upsample2(img: Array) -> Array:
     return jax.image.resize(img, (2 * H, 2 * W), method="bilinear")
 
 
-def _bilinear(img: Array, xy: Array) -> Array:
-    """Bilinear sample img [H,W] at xy [...,2] (x, y) coords; zero outside."""
-    H, W = img.shape
+def _bilinear(img: Array, xy: Array, lidx: Array | None = None) -> Array:
+    """Bilinear sample at xy [...,2] (x, y) coords; zero outside.
+
+    img is [H,W], or a level stack [L,H,W] with lidx giving the per-leading-
+    index level to sample (the keypoint's own gaussian level — the fix for
+    the round-1 fixed-mid-level descriptor shortcut)."""
+    H, W = img.shape[-2:]
     x = xy[..., 0]
     y = xy[..., 1]
     x0 = jnp.floor(x)
@@ -91,10 +95,21 @@ def _bilinear(img: Array, xy: Array) -> Array:
     x1i = jnp.clip(x0i + 1, 0, W - 1)
     y1i = jnp.clip(y0i + 1, 0, H - 1)
     inb = (x >= 0) & (x <= W - 1) & (y >= 0) & (y <= H - 1)
-    v00 = img[y0i, x0i]
-    v01 = img[y0i, x1i]
-    v10 = img[y1i, x0i]
-    v11 = img[y1i, x1i]
+    if img.ndim == 2:
+        def at(yi, xi):
+            return img[yi, xi]
+    else:
+        li = jnp.broadcast_to(
+            jnp.reshape(lidx, lidx.shape + (1,) * (x.ndim - lidx.ndim)), x.shape
+        )
+
+        def at(yi, xi):
+            return img[li, yi, xi]
+
+    v00 = at(y0i, x0i)
+    v01 = at(y0i, x1i)
+    v10 = at(y1i, x0i)
+    v11 = at(y1i, x1i)
     v = (
         v00 * (1 - fx) * (1 - fy)
         + v01 * fx * (1 - fy)
@@ -142,13 +157,16 @@ def _extrema_candidates(dog: Array, opts: SiftOptions):
     return score
 
 
-def _orientation_and_descriptor(L, kx, ky, sigma_rel, opts):
-    """For keypoints on one gaussian level L [H,W]: dominant orientation and
-    128-d descriptor. kx/ky [K] are octave-resolution coords, sigma_rel [K]."""
+def _orientation_and_descriptor(G, kx, ky, sigma_rel, opts, lidx=None):
+    """Dominant orientation and 128-d descriptor for keypoints sampled on
+    their own gaussian level. G is the octave's level stack [L,H,W] with
+    lidx [K] the per-keypoint level (sift.cc:418-650 semantics: VLFeat
+    computes gradients on the keypoint's scale level), or a single [H,W]
+    level. kx/ky [K] are octave-resolution coords, sigma_rel [K]."""
     K = kx.shape[0]
-    # gradient maps
-    gx = 0.5 * (jnp.roll(L, -1, 1) - jnp.roll(L, 1, 1))
-    gy = 0.5 * (jnp.roll(L, -1, 0) - jnp.roll(L, 1, 0))
+    # gradient maps (per level — cheap elementwise ops over the stack)
+    gx = 0.5 * (jnp.roll(G, -1, -1) - jnp.roll(G, 1, -1))
+    gy = 0.5 * (jnp.roll(G, -1, -2) - jnp.roll(G, 1, -2))
     mag = jnp.sqrt(gx * gx + gy * gy)
     ang = jnp.arctan2(gy, gx)  # [-pi, pi]
 
@@ -162,8 +180,8 @@ def _orientation_and_descriptor(L, kx, ky, sigma_rel, opts):
         jnp.stack([kx, ky], -1)[:, None, :]
         + offs[None, :, :] * win_r[:, None, None]
     )  # [K, P*P, 2]
-    m = _bilinear(mag, coords)
-    a = _bilinear(ang, coords)
+    m = _bilinear(mag, coords, lidx)
+    a = _bilinear(ang, coords, lidx)
     d2 = jnp.sum(offs * offs, axis=-1)[None, :]  # normalized radius^2
     gw = jnp.exp(-d2 / (2 * 0.5**2)) * (d2 <= 1.0)
     w = m * gw
@@ -198,8 +216,8 @@ def _orientation_and_descriptor(L, kx, ky, sigma_rel, opts):
     )  # [K,2,2]
     world_off = jnp.einsum("kij,pj->kpi", rot, soff) * half[:, None, None]
     coords = jnp.stack([kx, ky], -1)[:, None, :] + world_off  # [K,DD,2]
-    m = _bilinear(mag, coords)
-    a = _bilinear(ang, coords) - ori[:, None]
+    m = _bilinear(mag, coords, lidx)
+    a = _bilinear(ang, coords, lidx) - ori[:, None]
     gw = jnp.exp(-jnp.sum(soff * soff, -1)[None, :] / (2 * 0.6**2))
     w = m * gw  # [K, DD]
 
@@ -313,11 +331,10 @@ def extract(image: Array, opts: SiftOptions = SiftOptions()):
         sfrac = s_idx.astype(jnp.float32) + 1.0 + ds  # dog level
         sigma_rel = opts.sigma0 * 2 ** (sfrac / S)  # at octave resolution
 
-        # orientation + descriptor computed on the nearest gaussian level
-        # (use the middle level as a fixed-shape compromise — level-dependent
-        # gather across the stacked G costs one extra gather dimension)
-        Gmid = G[(S + 1) // 2 + 1]
-        ori, desc = _orientation_and_descriptor(Gmid, kx, ky, sigma_rel, opts)
+        # orientation + descriptor on each keypoint's own gaussian level:
+        # sigma(G[s]) = sigma0 * 2^(s/S) so the nearest level is round(sfrac)
+        lidx = jnp.clip(jnp.round(sfrac).astype(jnp.int32), 0, S + 2)
+        ori, desc = _orientation_and_descriptor(G, kx, ky, sigma_rel, opts, lidx)
 
         mul = scale0 * (2.0**o)
         kp = jnp.stack([kx * mul, ky * mul, sigma_rel * mul, ori], -1)
@@ -345,6 +362,30 @@ def extract(image: Array, opts: SiftOptions = SiftOptions()):
         top = jnp.pad(top, (0, pad))
         sel_valid = jnp.pad(sel_valid, (0, pad))
     return sel_kp, sel_desc, top, sel_valid
+
+
+def extract_flops(H: int, W: int, opts: SiftOptions = SiftOptions()) -> float:
+    """Analytic FLOP estimate for extract() on an HxW image (MFU accounting).
+
+    Per octave at resolution h*w: (S+2) incremental blurs of 2 separable
+    ~11-tap convs (2 flops/tap), DoG + 3x3x3 extrema pooling (~60/px),
+    gradient stack (~10/px/level); per keypoint slot: orientation+descriptor
+    sampling (2*256 bilinear gathers * ~10) + descriptor binning einsum
+    (256*4*4*8*2).
+    """
+    S = opts.octave_resolution
+    if opts.first_octave < 0:
+        H, W = 2 * H, 2 * W
+    px_total = 0.0
+    h, w = H, W
+    for _ in range(opts.num_octaves):
+        if h < 16 or w < 16:
+            break
+        px_total += h * w
+        h, w = h // 2, w // 2
+    per_px = (S + 2) * (2 * 2 * 11) + 60 + (S + 3) * 10
+    per_kp = 2 * 256 * 10 + 256 * 128 * 2
+    return px_total * per_px + opts.num_octaves * opts.max_per_octave * per_kp
 
 
 def descriptors_to_uint8(desc: Array) -> Array:

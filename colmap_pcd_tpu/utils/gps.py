@@ -25,20 +25,25 @@ def lla_to_ecef(lat_deg, lon_deg, alt) -> np.ndarray:
     return np.stack([x, y, z], axis=-1)
 
 
-def ecef_to_enu(ecef: np.ndarray, lat0_deg: float, lon0_deg: float, alt0: float) -> np.ndarray:
-    """ECEF -> local east/north/up relative to the given origin."""
-    origin = lla_to_ecef(lat0_deg, lon0_deg, alt0)
+def ecef_to_enu_rotation(lat0_deg: float, lon0_deg: float) -> np.ndarray:
+    """Rotation taking ECEF directions to local east/north/up axes."""
     lat0 = np.deg2rad(lat0_deg)
     lon0 = np.deg2rad(lon0_deg)
     sl, cl = np.sin(lat0), np.cos(lat0)
     so, co = np.sin(lon0), np.cos(lon0)
-    R = np.asarray(
+    return np.asarray(
         [
             [-so, co, 0.0],
             [-sl * co, -sl * so, cl],
             [cl * co, cl * so, sl],
         ]
     )
+
+
+def ecef_to_enu(ecef: np.ndarray, lat0_deg: float, lon0_deg: float, alt0: float) -> np.ndarray:
+    """ECEF -> local east/north/up relative to the given origin."""
+    origin = lla_to_ecef(lat0_deg, lon0_deg, alt0)
+    R = ecef_to_enu_rotation(lat0_deg, lon0_deg)
     return (np.asarray(ecef) - origin) @ R.T
 
 

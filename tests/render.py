@@ -86,7 +86,7 @@ def render_corridor(q_cw, t_cw, width=640, height=480, focal=500.0):
             ok &= (pt[..., 1] > -2.5) & (pt[..., 1] < 2.05)
         else:  # ground: inside the corridor horizontally
             ok &= (pt[..., 0] > -4.05) & (pt[..., 0] < 4.05)
-        val = tex(pt)
+        val = tex(np.where(ok[..., None], pt, 0.0))  # keep inf rays out of the int cast
         img = np.where(ok, val, img)
         best_t = np.where(ok, t, best_t)
 
