@@ -846,6 +846,56 @@ def cmd_poisson_mesher(argv):
     return 0
 
 
+def cmd_delaunay_mesher(argv):
+    """Sparse/dense Delaunay meshing with visibility graph cut
+    (RunDelaunayMesher; mvs/meshing.h:110-127, Labatut et al. 2009).
+    --input_path: a sparse model dir (sparse mode) or a dense workspace
+    containing fused.ply + sparse/ (dense mode, the reference's default)."""
+    input_path, output_path, input_type = None, None, "dense"
+    qreg, vis_sigma = 1.0, 3.0
+    it = iter(argv)
+    for a in it:
+        if a == "--input_path":
+            input_path = next(it)
+        elif a == "--output_path":
+            output_path = next(it)
+        elif a == "--input_type":
+            input_type = next(it)
+        elif a == "--DelaunayMeshing.quality_regularization":
+            qreg = float(next(it))
+        elif a == "--DelaunayMeshing.visibility_sigma":
+            vis_sigma = float(next(it))
+    if not input_path or not output_path:
+        print("usage: delaunay_mesher --input_path <sparse_model|dense_workspace>"
+              " --output_path meshed.ply [--input_type sparse|dense]")
+        return 1
+    from .io import ply as ply_io
+    from .models.reconstruction import Reconstruction
+    from .ops.delaunay import (
+        DelaunayMeshingOptions,
+        dense_delaunay_mesh,
+        sparse_delaunay_mesh,
+    )
+
+    opts = DelaunayMeshingOptions(
+        quality_regularization=qreg, visibility_sigma=vis_sigma
+    )
+    if input_type == "sparse":
+        rec = Reconstruction.read(input_path)
+        verts, faces = sparse_delaunay_mesh(rec, opts)
+    else:
+        fused = os.path.join(input_path, "fused.ply")
+        if not os.path.exists(fused):
+            print(f"{fused} not found; run stereo_fusion first")
+            return 1
+        rec = Reconstruction.read(os.path.join(input_path, "sparse"))
+        data = ply_io.read_ply(fused)
+        verts, faces = dense_delaunay_mesh(data.xyz, rec, opts)
+    ply_io.write_ply_mesh(output_path, verts, faces)
+    print(f"Delaunay meshed -> {len(verts)} vertices, {len(faces)} faces: {output_path}")
+    return 0
+
+
 def cmd_database_creator(argv):
     om, _ = _opt(argv)
     from .models.database import Database
@@ -923,7 +973,7 @@ COMMANDS = {
     "patch_match_stereo": cmd_patch_match_stereo,
     "stereo_fusion": cmd_stereo_fusion,
     "poisson_mesher": cmd_poisson_mesher,
-    "delaunay_mesher": cmd_poisson_mesher,
+    "delaunay_mesher": cmd_delaunay_mesher,
     "database_creator": cmd_database_creator,
     "automatic_reconstructor": cmd_automatic_reconstructor,
     "gui": cmd_gui,

@@ -79,6 +79,10 @@ def run_feature_extractor(
         peak_threshold=extraction.peak_threshold,
         edge_threshold=extraction.edge_threshold,
         upright=extraction.upright,
+        domain_size_pooling=extraction.domain_size_pooling,
+        dsp_min_scale=extraction.dsp_min_scale,
+        dsp_max_scale=extraction.dsp_max_scale,
+        dsp_num_scales=extraction.dsp_num_scales,
     )
 
     camera_ids: dict[tuple, int] = {}
@@ -195,8 +199,9 @@ class _MatchWorker:
             from ..ops import pallas_kernels
 
             idx, ok = pallas_kernels.match_descriptors_pallas(d1, d2, v1, v2, mopts)
+            sim1 = None
         else:
-            idx, ok = matching_ops.match_descriptors(d1, d2, v1, v2, mopts)
+            idx, ok, sim1 = matching_ops.match_descriptors(d1, d2, v1, v2, mopts)
         from ..utils.flops import FLOPS
 
         FLOPS.add(2.0 * d1.shape[0] * d2.shape[0] * 128, "matching")
@@ -210,6 +215,7 @@ class _MatchWorker:
         cam2 = self.cameras[self.images[id2]["camera_id"]]
         uv1 = kp1[pairs[:, 0], :2]
         uv2 = kp2[pairs[:, 1], :2]
+        quality = np.asarray(sim1)[pairs[:, 0]] if sim1 is not None else None
         g = two_view_mod.estimate_two_view_geometry(
             uv1, uv2,
             np_geom.pad_params(cam1["params"][: cm.NUM_PARAMS[cam1["model_id"]]], cam1["model_id"]),
@@ -219,6 +225,7 @@ class _MatchWorker:
                 max_error=self.cfg.max_error,
                 min_num_inliers=self.cfg.min_num_inliers,
             ),
+            quality=quality,
         )
         inlier_rows = g.inlier_matches[:, 0] if len(g.inlier_matches) else np.zeros(0, np.int64)
 

@@ -149,6 +149,7 @@ def estimate_two_view_geometry(
     seed: int = 0,
     size1: tuple[int, int] | None = None,  # (width, height) for watermark test
     size2: tuple[int, int] | None = None,
+    quality: np.ndarray | None = None,  # [N] match quality for PROSAC sampling
 ) -> TwoViewGeometry:
     """uv1[i] <-> uv2[i] are matched pairs (from ops/matching)."""
     if opts.multiple_models:
@@ -161,12 +162,23 @@ def estimate_two_view_geometry(
         return out
     from ..ops import np_geom
 
-    valid = jnp.ones((N,), jnp.float32)
-    uv1j = jnp.asarray(uv1, jnp.float32)
-    uv2j = jnp.asarray(uv2, jnp.float32)
+    # pad the match count to a power-of-two bucket: per-pair match counts
+    # vary freely, and an unbucketed N would recompile the three RANSAC
+    # programs for every distinct count
+    cap = max(64, 1 << int(np.ceil(np.log2(N))))
+    uv1p = np.concatenate([uv1, np.zeros((cap - N, 2))]) if cap > N else uv1
+    uv2p = np.concatenate([uv2, np.zeros((cap - N, 2))]) if cap > N else uv2
+    valid = jnp.asarray(np.arange(cap) < N, jnp.float32)
+    qual = None
+    if quality is not None:
+        qual = jnp.asarray(
+            np.concatenate([quality, np.full(cap - N, -np.inf)]), jnp.float32
+        )
+    uv1j = jnp.asarray(uv1p, jnp.float32)
+    uv2j = jnp.asarray(uv2p, jnp.float32)
     # normalized coords for E (host-side undistortion: no device round-trips)
-    n1 = jnp.asarray(np_geom.image_to_world(model_id1, params1, uv1), jnp.float32)
-    n2 = jnp.asarray(np_geom.image_to_world(model_id2, params2, uv2), jnp.float32)
+    n1 = jnp.asarray(np_geom.image_to_world(model_id1, params1, uv1p), jnp.float32)
+    n2 = jnp.asarray(np_geom.image_to_world(model_id2, params2, uv2p), jnp.float32)
     p1 = np.asarray(params1)
     p2 = np.asarray(params2)
     fi1 = cm._FOCAL_IDX[model_id1]
@@ -179,9 +191,9 @@ def estimate_two_view_geometry(
     ro_norm = ransac_ops.RansacOptions(
         max_error=opts.max_error / f_mean, num_hypotheses=opts.num_hypotheses
     )
-    resE = ransac_ops.ransac_essential(n1, n2, valid, k1, ro_norm)
-    resF = ransac_ops.ransac_fundamental(uv1j, uv2j, valid, k2, ro)
-    resH = ransac_ops.ransac_homography(uv1j, uv2j, valid, k3, ro)
+    resE = ransac_ops.ransac_essential(n1, n2, valid, k1, ro_norm, qual)
+    resF = ransac_ops.ransac_fundamental(uv1j, uv2j, valid, k2, ro, qual)
+    resH = ransac_ops.ransac_homography(uv1j, uv2j, valid, k3, ro, qual)
     nE, nF, nH = int(resE.num_inliers), int(resF.num_inliers), int(resH.num_inliers)
 
     out.E = np.asarray(resE.model)
@@ -194,11 +206,11 @@ def estimate_two_view_geometry(
 
     if nE >= opts.min_E_F_inlier_ratio * nF and nE >= opts.min_num_inliers:
         config = CALIBRATED
-        best_mask = np.asarray(resE.inlier_mask)
+        best_mask = np.asarray(resE.inlier_mask)[:N]
         n_best = nE
     else:
         config = UNCALIBRATED
-        best_mask = np.asarray(resF.inlier_mask)
+        best_mask = np.asarray(resF.inlier_mask)[:N]
         n_best = nF
 
     if nH > opts.max_H_inlier_ratio * n_best:
@@ -218,13 +230,14 @@ def estimate_two_view_geometry(
         return out
 
     if opts.compute_relative_pose and config == CALIBRATED:
+        mask_p = np.zeros(cap, np.float32)
+        mask_p[:N] = best_mask
         q, t, ang, z1, z2 = _pose_recovery(
-            jnp.asarray(out.E, jnp.float32), n1, n2,
-            jnp.asarray(best_mask.astype(np.float32)),
+            jnp.asarray(out.E, jnp.float32), n1, n2, jnp.asarray(mask_p)
         )
         out.qvec = np.asarray(q)
         out.tvec = np.asarray(t)
-        ang, z1, z2 = np.asarray(ang), np.asarray(z1), np.asarray(z2)
+        ang, z1, z2 = np.asarray(ang)[:N], np.asarray(z1)[:N], np.asarray(z2)[:N]
         ok = best_mask & (z1 > 0) & (z2 > 0)
         if ok.sum() > 0:
             out.tri_angle = float(np.median(ang[ok]))

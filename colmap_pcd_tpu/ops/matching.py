@@ -48,8 +48,9 @@ def match_descriptors(
     valid1: Array,  # [N1]
     valid2: Array,  # [N2]
     opts: MatchingOptions = MatchingOptions(),
-) -> tuple[Array, Array]:
-    """Returns (match_idx [N1] into d2, ok [N1] bool)."""
+) -> tuple[Array, Array, Array]:
+    """Returns (match_idx [N1] into d2, ok [N1] bool, sim [N1] best cosine
+    similarity — the match quality PROSAC-ordered verification consumes)."""
     sim = jnp.dot(d1, d2.T, preferred_element_type=jnp.float32)  # [N1,N2]
     s1, s2, idx = _best2(sim, valid2)
     dist1 = jnp.arccos(jnp.clip(s1, -1.0, 1.0))
@@ -60,7 +61,7 @@ def match_descriptors(
         simT = jnp.where(valid1[:, None] > 0, sim, -2.0)
         back = jnp.argmax(simT, axis=0)  # [N2] best row per column
         ok &= back[idx] == jnp.arange(d1.shape[0])
-    return idx, ok
+    return idx, ok, s1
 
 
 @functools.partial(jax.jit, static_argnames=("opts",))

@@ -11,10 +11,13 @@ samplers: on a TPU the hypothesize-and-verify loop becomes
   4. local optimization: refit a non-minimal solver on the best inliers and
      rescore, a fixed small number of rounds (LORANSAC semantics).
 
-There is no SPRT / progressive sampling (optim/sprt.{h,cc},
-progressive_sampler.cc): those exist to cut sequential iterations early, which
-is meaningless when all hypotheses evaluate in parallel anyway — the batched
-bank IS the preemption.
+There is no SPRT (optim/sprt.{h,cc}): it exists to cut sequential iterations
+early, which is meaningless when all hypotheses evaluate in parallel anyway —
+the batched bank IS the preemption. PROSAC (progressive_sampler.cc) survives
+as quality-ordered sampling: when a per-row quality is given, hypothesis i of
+the bank draws from the top-m_i rows with m_i growing across the bank, so the
+front of the bank concentrates on high-quality matches (progressive batches)
+while the tail stays uniform (the RANSAC fallback PROSAC converges to).
 """
 
 from __future__ import annotations
@@ -37,10 +40,32 @@ class RansacOptions(NamedTuple):
     min_inlier_ratio: float = 0.0
 
 
-def _draw_samples(key, valid: Array, num: int, k: int) -> Array:
-    """[num, k] indices drawn from the valid mask (with replacement)."""
-    logits = jnp.where(valid > 0, 0.0, -1e30)
-    return jax.random.categorical(key, logits, shape=(num, k))
+def _draw_samples(
+    key, valid: Array, num: int, k: int, quality: Array | None = None
+) -> Array:
+    """[num, k] indices drawn from the valid mask (with replacement).
+
+    With a quality vector [N] (higher = better, e.g. negative descriptor
+    distance), sampling is progressive: hypothesis i draws uniformly from the
+    top-m_i valid rows by quality, m_i ramping from 2k to all N across the
+    bank (PROSAC semantics, optim/progressive_sampler.cc, batched)."""
+    if quality is None:
+        logits = jnp.where(valid > 0, 0.0, -1e30)
+        return jax.random.categorical(key, logits, shape=(num, k))
+    N = valid.shape[0]
+    # rank rows: best quality first (invalid rows last)
+    order = jnp.argsort(jnp.where(valid > 0, -quality, jnp.inf))
+    rank = jnp.argsort(order)  # rank[n] = position of row n
+    n_valid = jnp.maximum(jnp.sum(valid > 0), 1.0)
+    # per-hypothesis pool size: geometric ramp 2k -> n_valid
+    i = jnp.arange(num, dtype=jnp.float32) / max(num - 1, 1)
+    m = jnp.minimum(jnp.ceil(2.0 * k * (n_valid / (2.0 * k)) ** i), n_valid)
+    logits = jnp.where(
+        (rank[None, :] < m[:, None]) & (valid[None, :] > 0), 0.0, -1e30
+    )  # [num, N]
+    return jax.vmap(lambda kk, lg: jax.random.categorical(kk, lg, shape=(k,)))(
+        jax.random.split(key, num), logits
+    )
 
 
 def _score(err: Array, valid: Array, thr: float):
@@ -123,9 +148,9 @@ class TwoViewResult(NamedTuple):
     num_inliers: Array
 
 
-def _ransac_two_view(uv1, uv2, valid, key, opts, solver, resid, sample_k):
+def _ransac_two_view(uv1, uv2, valid, key, opts, solver, resid, sample_k, quality=None):
     H = opts.num_hypotheses
-    idx = _draw_samples(key, valid, H, sample_k)
+    idx = _draw_samples(key, valid, H, sample_k, quality)
 
     def solve_one(ii):
         return solver(uv1[ii], uv2[ii], None)
@@ -156,30 +181,30 @@ def _ransac_two_view(uv1, uv2, valid, key, opts, solver, resid, sample_k):
 
 
 @functools.partial(jax.jit, static_argnames=("opts",))
-def ransac_fundamental(uv1, uv2, valid, key, opts: RansacOptions = RansacOptions()):
+def ransac_fundamental(uv1, uv2, valid, key, opts: RansacOptions = RansacOptions(), quality=None):
     """F from pixel coords; max_error in pixels (Sampson)."""
     return _ransac_two_view(
         uv1, uv2, valid, key, opts,
         lambda a, b, m: solvers.eight_point(a, b, m, essential=False),
-        solvers.sampson_error, 8,
+        solvers.sampson_error, 8, quality,
     )
 
 
 @functools.partial(jax.jit, static_argnames=("opts",))
-def ransac_essential(uv1, uv2, valid, key, opts: RansacOptions = RansacOptions()):
+def ransac_essential(uv1, uv2, valid, key, opts: RansacOptions = RansacOptions(), quality=None):
     """E from normalized camera coords; max_error in normalized units."""
     return _ransac_two_view(
         uv1, uv2, valid, key, opts,
         lambda a, b, m: solvers.eight_point(a, b, m, essential=True),
-        solvers.sampson_error, 8,
+        solvers.sampson_error, 8, quality,
     )
 
 
 @functools.partial(jax.jit, static_argnames=("opts",))
-def ransac_homography(uv1, uv2, valid, key, opts: RansacOptions = RansacOptions()):
+def ransac_homography(uv1, uv2, valid, key, opts: RansacOptions = RansacOptions(), quality=None):
     """H from pixel coords; max_error in pixels (transfer error)."""
     return _ransac_two_view(
         uv1, uv2, valid, key, opts,
         solvers.homography_dlt,
-        solvers.homography_transfer_error, 4,
+        solvers.homography_transfer_error, 4, quality,
     )

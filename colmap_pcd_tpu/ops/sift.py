@@ -45,6 +45,11 @@ class SiftOptions(NamedTuple):
     max_per_octave: int = 4096
     upright: bool = False
     l1_root: bool = True  # L1_ROOT descriptor normalization (COLMAP default)
+    # DSP-SIFT domain-size pooling (sift.h:102-113; default off as in COLMAP)
+    domain_size_pooling: bool = False
+    dsp_min_scale: float = 1.0 / 6.0
+    dsp_max_scale: float = 3.0
+    dsp_num_scales: int = 10
 
 
 def _gauss_kernel(sigma: float) -> np.ndarray:
@@ -204,8 +209,6 @@ def _orientation_and_descriptor(G, kx, ky, sigma_rel, opts, lidx=None):
 
     # ---- descriptor: 16x16 samples over 4x4 bins, rotated by ori -----------
     D = 16
-    # sample grid in descriptor frame: spacing 3*sigma, window half = 2*3*sigma
-    half = 2.0 * 3.0 * sigma_rel  # [K]
     lin = (jnp.arange(D) + 0.5) / D * 2.0 - 1.0  # [-1,1]
     sx, sy = jnp.meshgrid(lin, lin)
     soff = jnp.stack([sx.ravel(), sy.ravel()], -1)  # [D*D, 2]
@@ -214,14 +217,9 @@ def _orientation_and_descriptor(G, kx, ky, sigma_rel, opts, lidx=None):
     rot = jnp.stack(
         [jnp.stack([co, -si], -1), jnp.stack([si, co], -1)], -2
     )  # [K,2,2]
-    world_off = jnp.einsum("kij,pj->kpi", rot, soff) * half[:, None, None]
-    coords = jnp.stack([kx, ky], -1)[:, None, :] + world_off  # [K,DD,2]
-    m = _bilinear(mag, coords, lidx)
-    a = _bilinear(ang, coords, lidx) - ori[:, None]
     gw = jnp.exp(-jnp.sum(soff * soff, -1)[None, :] / (2 * 0.6**2))
-    w = m * gw  # [K, DD]
 
-    # trilinear binning: spatial (4x4) from soff, orientation (8) from a
+    # trilinear binning weights: spatial (4x4) from soff, orientation (8)
     def spatial_weights(c):  # c in [-1,1] -> 4 bins at centers -0.75..0.75
         centers = jnp.asarray([-0.75, -0.25, 0.25, 0.75])
         d = jnp.abs(c[..., None] - centers) / 0.5
@@ -229,15 +227,36 @@ def _orientation_and_descriptor(G, kx, ky, sigma_rel, opts, lidx=None):
 
     wxs = spatial_weights(soff[:, 0])  # [DD,4]
     wys = spatial_weights(soff[:, 1])  # [DD,4]
-    af = (a + jnp.pi) / (2 * jnp.pi) * 8.0
-    b0 = jnp.floor(af).astype(jnp.int32) % 8
-    fb = af - jnp.floor(af)
-    wo = jax.nn.one_hot(b0, 8, dtype=w.dtype) * (1 - fb)[..., None] + jax.nn.one_hot(
-        (b0 + 1) % 8, 8, dtype=w.dtype
-    ) * fb[..., None]  # [K,DD,8]
-    # desc[k, yb, xb, ob] = sum_p w * wys[p,yb] * wxs[p,xb] * wo[k,p,ob]
-    desc = jnp.einsum("kp,py,px,kpo->kyxo", w, wys, wxs, wo)
-    desc = desc.reshape(K, 128)
+
+    def raw_descriptor(half):
+        """Unnormalized 128-d histogram sampled at window half-size `half`
+        (spacing 3*sigma -> half = 2*3*sigma at scale 1)."""
+        world_off = jnp.einsum("kij,pj->kpi", rot, soff) * half[:, None, None]
+        coords = jnp.stack([kx, ky], -1)[:, None, :] + world_off  # [K,DD,2]
+        m = _bilinear(mag, coords, lidx)
+        a = _bilinear(ang, coords, lidx) - ori[:, None]
+        w = m * gw  # [K, DD]
+        af = (a + jnp.pi) / (2 * jnp.pi) * 8.0
+        b0 = jnp.floor(af).astype(jnp.int32) % 8
+        fb = af - jnp.floor(af)
+        wo = jax.nn.one_hot(b0, 8, dtype=w.dtype) * (1 - fb)[..., None] + jax.nn.one_hot(
+            (b0 + 1) % 8, 8, dtype=w.dtype
+        ) * fb[..., None]  # [K,DD,8]
+        # desc[k, yb, xb, ob] = sum_p w * wys[p,yb] * wxs[p,xb] * wo[k,p,ob]
+        return jnp.einsum("kp,py,px,kpo->kyxo", w, wys, wxs, wo).reshape(K, 128)
+
+    base_half = 2.0 * 3.0 * sigma_rel  # [K]
+    if opts.domain_size_pooling:
+        # DSP-SIFT (sift.h:102-113 / sift.cc:650): pool raw descriptors over
+        # a range of domain sizes before normalization
+        scales = np.linspace(
+            opts.dsp_min_scale, opts.dsp_max_scale, opts.dsp_num_scales
+        )
+        desc = jnp.mean(
+            jnp.stack([raw_descriptor(base_half * float(s)) for s in scales]), 0
+        )
+    else:
+        desc = raw_descriptor(base_half)
     # normalize: L2 -> clip 0.2 -> L2; then L1-root if configured
     desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12)
     desc = jnp.minimum(desc, 0.2)

@@ -36,7 +36,7 @@ def match_pairs_batch(
     @functools.partial(jax.jit, static_argnames=())
     def run(d1, d2, v1, v2):
         return jax.vmap(
-            lambda a, b, va, vb: matching_ops.match_descriptors(a, b, va, vb, opts)
+            lambda a, b, va, vb: matching_ops.match_descriptors(a, b, va, vb, opts)[:2]
         )(d1, d2, v1, v2)
 
     if mesh is not None:
@@ -51,7 +51,7 @@ def match_pairs_batch(
         v2 = jax.device_put(v2, sh2)
         run_sharded = jax.jit(
             lambda a, b, va, vb: jax.vmap(
-                lambda x, y, vx, vy: matching_ops.match_descriptors(x, y, vx, vy, opts)
+                lambda x, y, vx, vy: matching_ops.match_descriptors(x, y, vx, vy, opts)[:2]
             )(a, b, va, vb),
             in_shardings=(sh3, sh3, sh2, sh2),
             out_shardings=(sh2, sh2),

@@ -36,6 +36,10 @@ class SiftExtractionConfig:
     peak_threshold: float = 0.02 / 3.0
     edge_threshold: float = 10.0
     upright: bool = False
+    domain_size_pooling: bool = False  # DSP-SIFT (sift.h:102)
+    dsp_min_scale: float = 1.0 / 6.0
+    dsp_max_scale: float = 3.0
+    dsp_num_scales: int = 10
 
 
 @dataclass

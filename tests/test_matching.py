@@ -18,7 +18,7 @@ def test_match_descriptors_identity(rng):
     perm = rng.permutation(100)
     d2 = d1[perm] + rng.normal(0, 0.05, (100, 128)).astype(np.float32)
     d2 /= np.linalg.norm(d2, axis=-1, keepdims=True)
-    idx, ok = matching.match_descriptors(
+    idx, ok, _ = matching.match_descriptors(
         jnp.asarray(d1), jnp.asarray(d2), jnp.ones(100), jnp.ones(100)
     )
     idx, ok = np.asarray(idx), np.asarray(ok)
@@ -33,7 +33,7 @@ def test_match_ratio_rejects_ambiguous(rng):
     noise = rng.normal(0, 0.05, (2, 128)).astype(np.float32)
     d2 = np.concatenate([d1[0:1] + noise[0:1], d1[0:1] + noise[1:2], make_descriptors(rng, 2)])
     d2 /= np.linalg.norm(d2, axis=-1, keepdims=True)
-    idx, ok = matching.match_descriptors(
+    idx, ok, _ = matching.match_descriptors(
         jnp.asarray(d1), jnp.asarray(d2), jnp.ones(4), jnp.ones(4)
     )
     assert not bool(np.asarray(ok)[0])
@@ -44,7 +44,7 @@ def test_match_validity_mask(rng):
     d2 = d1.copy()
     v2 = np.ones(10, np.float32)
     v2[3] = 0.0  # knock out the true match of row 3
-    idx, ok = matching.match_descriptors(
+    idx, ok, _ = matching.match_descriptors(
         jnp.asarray(d1), jnp.asarray(d2), jnp.ones(10), jnp.asarray(v2)
     )
     idx, ok = np.asarray(idx), np.asarray(ok)
@@ -122,3 +122,26 @@ def test_guided_matching(rng):
     idx, ok = np.asarray(idx), np.asarray(ok)
     correct = (idx[ok] == np.nonzero(ok)[0]).mean() if ok.sum() else 0.0
     assert ok.sum() >= 40 and correct > 0.95, (ok.sum(), correct)
+
+
+def test_prosac_ordered_sampling():
+    """Quality-ordered sampling (progressive_sampler.cc semantics): early
+    hypotheses draw only from the top-quality rows; late hypotheses can use
+    everything; invalid rows are never drawn."""
+    import jax
+
+    from colmap_pcd_tpu.ops.ransac import _draw_samples
+
+    N = 64
+    valid = np.ones(N, np.float32)
+    valid[50:] = 0.0
+    quality = np.arange(N, dtype=np.float32)  # row 49 = best valid
+    idx = np.asarray(
+        _draw_samples(jax.random.PRNGKey(0), jnp.asarray(valid), 256, 8,
+                      jnp.asarray(quality))
+    )
+    assert (idx < 50).all()  # invalid rows never sampled
+    # the first hypotheses stay inside the top-16 pool (ranks 34..49)
+    assert (idx[0] >= 34).all()
+    # late hypotheses reach the full valid range
+    assert idx[-32:].min() < 20

@@ -80,3 +80,73 @@ def test_ply_mesh_roundtrip(tmp_path):
     v2, f2 = ply_io.read_ply_mesh(p)
     np.testing.assert_allclose(v2, verts)
     np.testing.assert_array_equal(f2, faces)
+
+
+def test_delaunay_sparse_mesh(rng):
+    """Sparse Delaunay meshing on a synthetic box scene: cameras outside
+    looking at points on a sphere surface -> a closed-ish surface between
+    inside and outside tetrahedra."""
+    from colmap_pcd_tpu.models.reconstruction import (
+        Camera, Image, Point3D, Reconstruction,
+    )
+    from colmap_pcd_tpu.ops.delaunay import (
+        DelaunayMeshingOptions, sparse_delaunay_mesh,
+    )
+
+    rec = Reconstruction()
+    rec.add_camera(Camera(1, 1, 640, 480, np.asarray([500.0, 500, 320, 240])))
+    # 8 cameras on a ring of radius 5
+    centers = []
+    for i in range(1, 9):
+        a = 2 * np.pi * i / 8
+        img = Image(i, f"v{i}.png", 1, xys=np.zeros((0, 2)))
+        img.qvec = np.asarray([1.0, 0, 0, 0])
+        img.tvec = -np.asarray([5 * np.cos(a), 0.2, 5 * np.sin(a)])
+        rec.add_image(img)
+        rec.register_image(i)
+        centers.append((i, np.asarray([5 * np.cos(a), 0.2, 5 * np.sin(a)])))
+    # points on a unit sphere, each seen by the 3 nearest cameras
+    npts = 220
+    u = rng.normal(size=(npts, 3))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    for k in range(npts):
+        p = Point3D(xyz=u[k])
+        dists = [(np.linalg.norm(c - u[k]), i) for i, c in centers]
+        for _, i in sorted(dists)[:3]:
+            p.track.append((i, 0))
+        rec.points3D[k + 1] = p
+    verts, faces = sparse_delaunay_mesh(rec, DelaunayMeshingOptions())
+    assert len(faces) > 100, len(faces)
+    # surface triangles sit near the unit sphere
+    tri_pts = verts[faces.ravel()]
+    r = np.linalg.norm(tri_pts, axis=1)
+    assert np.median(np.abs(r - 1.0)) < 0.15, np.median(r)
+
+
+def test_delaunay_cli(tmp_path, rng):
+    from colmap_pcd_tpu import cli
+    from colmap_pcd_tpu.models.reconstruction import (
+        Camera, Image, Point3D, Reconstruction,
+    )
+
+    rec = Reconstruction()
+    rec.add_camera(Camera(1, 1, 64, 48, np.asarray([50.0, 50, 32, 24])))
+    for i in range(1, 7):
+        a = 2 * np.pi * i / 6
+        img = Image(i, f"v{i}.png", 1, xys=np.zeros((0, 2)))
+        img.qvec = np.asarray([1.0, 0, 0, 0])
+        img.tvec = -np.asarray([4 * np.cos(a), 0.0, 4 * np.sin(a)])
+        rec.add_image(img)
+        rec.register_image(i)
+    u = rng.normal(size=(120, 3))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    for k in range(120):
+        p = Point3D(xyz=u[k])
+        p.track = [(1 + k % 6, 0), (1 + (k + 1) % 6, 0)]
+        rec.points3D[k + 1] = p
+    sp = tmp_path / "sparse"
+    rec.write(str(sp))
+    out = tmp_path / "mesh.ply"
+    rc = cli.main(["delaunay_mesher", "--input_path", str(sp),
+                   "--output_path", str(out), "--input_type", "sparse"])
+    assert rc == 0 and out.exists()

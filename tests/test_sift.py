@@ -44,7 +44,7 @@ def test_shift_covariance(rng):
     img2 = np.roll(img, (shift, shift), axis=(0, 1))
     kp1, d1, s1, v1 = (np.asarray(a) for a in sift.extract(jnp.asarray(img), OPTS))
     kp2, d2, s2, v2 = (np.asarray(a) for a in sift.extract(jnp.asarray(img2), OPTS))
-    idx, ok = matching.match_descriptors(
+    idx, ok, _ = matching.match_descriptors(
         jnp.asarray(d1), jnp.asarray(d2),
         jnp.asarray(v1, jnp.float32), jnp.asarray(v2, jnp.float32),
         matching.MatchingOptions(max_ratio=0.8, cross_check=True),
@@ -64,7 +64,7 @@ def test_rotation_matching(rng):
     img2 = np.rot90(img).copy()
     kp1, d1, s1, v1 = (np.asarray(a) for a in sift.extract(jnp.asarray(img), OPTS))
     kp2, d2, s2, v2 = (np.asarray(a) for a in sift.extract(jnp.asarray(img2), OPTS))
-    idx, ok = matching.match_descriptors(
+    idx, ok, _ = matching.match_descriptors(
         jnp.asarray(d1), jnp.asarray(d2),
         jnp.asarray(v1, jnp.float32), jnp.asarray(v2, jnp.float32),
         matching.MatchingOptions(max_ratio=0.85, cross_check=True),
@@ -90,7 +90,7 @@ def test_uint8_roundtrip(rng):
     assert u8.dtype == jnp.uint8
     d1n = matching.normalize_descriptors(u8)
     # uint8 quantization keeps descriptors matchable with themselves
-    idx, ok = matching.match_descriptors(
+    idx, ok, _ = matching.match_descriptors(
         d1n, matching.normalize_descriptors(jnp.asarray(d1) * 512),
         jnp.asarray(np.asarray(v1), jnp.float32), jnp.asarray(np.asarray(v1), jnp.float32),
     )
@@ -99,3 +99,28 @@ def test_uint8_roundtrip(rng):
     v = np.asarray(v1)
     agree = (idx[v & ok] == np.nonzero(v & ok)[0]).mean()
     assert agree > 0.95
+
+
+def test_dsp_sift_descriptors(rng):
+    """DSP-SIFT (sift.h:102-113): domain-size-pooled descriptors are valid,
+    normalized, and still match the plain descriptors' keypoints."""
+    import jax.numpy as jnp
+
+    from colmap_pcd_tpu.ops import sift as sift_ops
+
+    img = make_texture(rng, H=128, W=128, n_blobs=40)
+    base = sift_ops.SiftOptions(
+        max_num_features=256, num_octaves=2, first_octave=0, max_per_octave=256
+    )
+    dsp = base._replace(domain_size_pooling=True, dsp_num_scales=5)
+    kp1, d1, s1, v1 = sift_ops.extract(jnp.asarray(img), base)
+    kp2, d2, s2, v2 = sift_ops.extract(jnp.asarray(img), dsp)
+    v2 = np.asarray(v2)
+    assert v2.sum() > 10
+    # keypoints identical (pooling only changes descriptors)
+    np.testing.assert_allclose(np.asarray(kp1)[v2], np.asarray(kp2)[v2], atol=1e-5)
+    d2 = np.asarray(d2)[v2]
+    # L1-root normalization: squared descriptors sum to ~1
+    np.testing.assert_allclose((d2**2).sum(-1), 1.0, atol=1e-3)
+    # pooled differs from single-scale
+    assert np.abs(d2 - np.asarray(d1)[v2]).max() > 1e-3
