@@ -32,6 +32,12 @@ class DenseOptions:
     min_consistent: int = 2
     depth_min: float = 0.0  # 0 = auto from sparse points
     depth_max: float = 0.0
+    # Bilaterally weighted NCC (patch_match.h:81-83); <=0 disables.
+    sigma_color: float = 0.2
+    sigma_spatial: float = -1.0
+    # Two-pass stereo with a geometric-consistency term in the second pass
+    # (patch_match.h:101-111, PatchMatchController's geom-consistent rerun).
+    geom_consistency: bool = True
 
 
 def _pose(img):
@@ -91,6 +97,7 @@ def run_patch_match_stereo(
     options: DenseOptions = DenseOptions(),
     rec: Reconstruction | None = None,
     images: dict[int, np.ndarray] | None = None,
+    mesh=None,
 ) -> int:
     """Compute depth/normal maps for every registered view.
 
@@ -118,12 +125,15 @@ def run_patch_match_stereo(
         num_depths=options.num_depths,
         window_radius=options.window_radius,
         min_consistent=options.min_consistent,
+        sigma_color=options.sigma_color,
+        sigma_spatial=options.sigma_spatial,
     )
-    n_done = 0
-    for ref_id in rec.registered_ids:
+
+    def view_problem(ref_id):
+        """Assemble the static-shape per-reference problem arrays."""
         srcs = _select_sources(rec, ref_id, options.num_src_images)
         if len(srcs) < 1:
-            continue
+            return None
         ref_img, scale = load_image(ref_id)
         q_r, t_r = _pose(rec.images[ref_id])
         K_ref = _K_of(rec.cameras[rec.images[ref_id].camera_id], scale)
@@ -149,7 +159,8 @@ def run_patch_match_stereo(
             dmin, dmax = _depth_range(rec, ref_id)
         # inverse-depth spacing
         depths = 1.0 / np.linspace(1.0 / dmax, 1.0 / dmin, options.num_depths)
-        depth, cost, normal = stereo_ops.plane_sweep(
+        return (
+            srcs,
             jnp.asarray(ref_img),
             jnp.asarray(np.stack(src_imgs)),
             jnp.asarray(K_ref),
@@ -157,14 +168,126 @@ def run_patch_match_stereo(
             jnp.asarray(np.stack(R_rels)),
             jnp.asarray(np.stack(t_rels)),
             jnp.asarray(depths.astype(np.float32)),
-            sopts,
         )
+
+    def save_maps(ref_id, depth, cost, normal):
         name = rec.images[ref_id].name.replace("/", "_")
         np.save(os.path.join(sdir, "depth_maps", name + ".npy"), np.asarray(depth))
         np.save(os.path.join(sdir, "normal_maps", name + ".npy"), np.asarray(normal))
         np.save(os.path.join(sdir, "cost_maps", name + ".npy"), np.asarray(cost))
-        n_done += 1
-    return n_done
+
+    problems = {}
+    for ref_id in rec.registered_ids:
+        prob = view_problem(ref_id)
+        if prob is not None:
+            problems[ref_id] = prob
+
+    def geom_src_depths(prob, photo_depth):
+        """Pad sources' pass-1 depth maps to the ref's static shape."""
+        srcs = prob[0]
+        ref_shape = prob[1].shape
+        sd = []
+        for sid in srcs:
+            d = photo_depth.get(sid)
+            if d is None:
+                sd.append(jnp.zeros(ref_shape, jnp.float32))
+                continue
+            d_pad = np.zeros(ref_shape, np.float32)
+            h = min(ref_shape[0], d.shape[0])
+            w = min(ref_shape[1], d.shape[1])
+            d_pad[:h, :w] = np.asarray(d)[:h, :w]
+            sd.append(jnp.asarray(d_pad))
+        return jnp.stack(sd)
+
+    shapes = {p[1].shape for p in problems.values()}
+    if mesh is not None and len(problems) > 0 and len(shapes) == 1:
+        _run_patch_match_sharded(problems, sopts, options, save_maps, mesh)
+        return len(problems)
+
+    # pass 1: photometric-only sweeps (the reference's non-geom first run)
+    photo_depth = {}
+    for ref_id, prob in problems.items():
+        depth, cost, normal = stereo_ops.plane_sweep(*prob[1:], sopts)
+        photo_depth[ref_id] = depth
+        save_maps(ref_id, depth, cost, normal)
+
+    # pass 2: rerun with the geometric-consistency term against the sources'
+    # pass-1 depth maps (PatchMatchController geom-consistent rerun)
+    if options.geom_consistency:
+        for ref_id, prob in problems.items():
+            depth, cost, normal = stereo_ops.plane_sweep(
+                *prob[1:], sopts,
+                src_depths=geom_src_depths(prob, photo_depth), use_geom=True,
+            )
+            save_maps(ref_id, depth, cost, normal)
+    return len(problems)
+
+
+def _run_patch_match_sharded(problems, sopts, options, save_maps, mesh):
+    """Fan the per-view sweeps out over the device mesh (the TPU analog of
+    PatchMatchController's ThreadPool-over-GPUs, patch_match.cc:197-213).
+
+    Problems are stacked into one batch: S padded to the max source count by
+    repeating the last source, B padded to a mesh multiple by repeating the
+    last problem.
+    """
+    from ..parallel import dist_mvs
+
+    ids = list(problems.keys())
+    ref_shape = problems[ids[0]][1].shape
+    S = max(p[2].shape[0] for p in problems.values())
+    n = mesh.devices.size
+
+    def pad_S(a, s_axis=0):
+        a = np.asarray(a)
+        k = S - a.shape[s_axis]
+        if k <= 0:
+            return a
+        rep = np.repeat(np.take(a, [-1], axis=s_axis), k, axis=s_axis)
+        return np.concatenate([a, rep], axis=s_axis)
+
+    refs = np.stack([np.asarray(problems[i][1]) for i in ids])
+    srcs = np.stack([pad_S(problems[i][2]) for i in ids])
+    K_ref = np.stack([np.asarray(problems[i][3]) for i in ids])
+    K_srcs = np.stack([pad_S(problems[i][4]) for i in ids])
+    R_rel = np.stack([pad_S(problems[i][5]) for i in ids])
+    t_rel = np.stack([pad_S(problems[i][6]) for i in ids])
+    depths = np.stack([np.asarray(problems[i][7]) for i in ids])
+
+    B = len(ids)
+    Bp = ((B + n - 1) // n) * n
+    def pad_B(a):
+        if Bp == B:
+            return a
+        return np.concatenate([a, np.repeat(a[-1:], Bp - B, axis=0)])
+    batch = tuple(map(pad_B, (refs, srcs, K_ref, K_srcs, R_rel, t_rel, depths)))
+
+    depth_b, cost_b, normal_b = dist_mvs.plane_sweep_batch(
+        *map(jnp.asarray, batch), sopts, mesh=mesh
+    )
+    depth_b = np.asarray(depth_b)
+
+    if options.geom_consistency:
+        # sources' pass-1 depth maps, padded like the sources themselves
+        photo = {i: depth_b[k] for k, i in enumerate(ids)}
+        sd = []
+        for i in ids:
+            srcs_i = problems[i][0]
+            maps = [photo.get(s, np.zeros(ref_shape, np.float32)) for s in srcs_i]
+            while len(maps) < S:
+                maps.append(maps[-1])
+            sd.append(np.stack(maps))
+        sd = pad_B(np.stack(sd))
+        depth_b, cost_b, normal_b = dist_mvs.plane_sweep_batch(
+            *map(jnp.asarray, batch), sopts, mesh=mesh,
+            src_depths=jnp.asarray(sd), use_geom=True,
+        )
+        depth_b = np.asarray(depth_b)
+
+    cost_b = np.asarray(cost_b)
+    normal_b = np.asarray(normal_b)
+    for k, i in enumerate(ids):
+        save_maps(i, depth_b[k], cost_b[k], normal_b[k])
 
 
 def run_stereo_fusion(

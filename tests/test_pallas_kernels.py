@@ -29,7 +29,7 @@ def test_match_descriptors_pallas_agrees(rng):
     d2 = base[perm] + rng.normal(0, 0.05, (N, 128)).astype(np.float32)
     d2 /= np.linalg.norm(d2, axis=1, keepdims=True)
     v = np.ones(N, np.float32)
-    idx_ref, ok_ref = matching.match_descriptors(
+    idx_ref, ok_ref, _ = matching.match_descriptors(
         jnp.asarray(base), jnp.asarray(d2), jnp.asarray(v), jnp.asarray(v)
     )
     idx_pl, ok_pl = pk.match_descriptors_pallas(
