@@ -934,11 +934,42 @@ def cmd_automatic_reconstructor(argv):
     )
 
 
+def cmd_model_viewer(argv):
+    """Export a reconstruction as a self-contained HTML WebGL viewer — the
+    headless replacement for the reference's Qt ModelViewerWidget painters
+    (src/ui/model_viewer_widget.h:125-184): SfM points, camera frusta, lidar
+    map, and association lines colored by type (red=proj, blue=icp,
+    yellow=ground)."""
+    p = _paths(argv, "input_path", "output_path", "lidar_path",
+               "max_lidar_points", "frustum_scale")
+    from .io import viewer as viewer_io
+    from .models.reconstruction import Reconstruction
+
+    rec = Reconstruction.read(p["input_path"])
+    lidar_pts = None
+    if p["lidar_path"]:
+        from .io import ply as ply_io
+
+        lidar_pts = ply_io.read_ply(p["lidar_path"]).xyz
+    out = viewer_io.export_viewer_html(
+        rec,
+        p["output_path"],
+        lidar_pts=lidar_pts,
+        max_lidar_points=int(p["max_lidar_points"] or 300000),
+        frustum_scale=float(p["frustum_scale"] or 0.4),
+    )
+    print(f"viewer written to {out} ({rec.num_reg_images} images, "
+          f"{len(rec.points3D)} points) — open in any browser")
+    return 0
+
+
 def cmd_gui(argv):
     print(
-        "This is the headless TPU build: there is no Qt GUI. Export models with "
-        "`model_converter --output_type PLY/TXT` and use any COLMAP-compatible "
-        "viewer; poses export via Mapper.image_pose_save_folder (pose.ply)."
+        "This is the headless TPU build: there is no Qt GUI. Use "
+        "`model_viewer --input_path <sparse> --output_path viewer.html` for a "
+        "standalone browser viewer (points, frusta, lidar associations), or "
+        "`model_converter --output_type PLY/TXT` for COLMAP-compatible viewers; "
+        "poses export via Mapper.image_pose_save_folder (pose.ply)."
     )
     return 0
 
@@ -976,6 +1007,7 @@ COMMANDS = {
     "delaunay_mesher": cmd_delaunay_mesher,
     "database_creator": cmd_database_creator,
     "automatic_reconstructor": cmd_automatic_reconstructor,
+    "model_viewer": cmd_model_viewer,
     "gui": cmd_gui,
 }
 

@@ -51,7 +51,10 @@ def match_descriptors(
 ) -> tuple[Array, Array, Array]:
     """Returns (match_idx [N1] into d2, ok [N1] bool, sim [N1] best cosine
     similarity — the match quality PROSAC-ordered verification consumes)."""
-    sim = jnp.dot(d1, d2.T, preferred_element_type=jnp.float32)  # [N1,N2]
+    # unit-normalized operands, decisions tolerate ~0.4% sim error: keep the
+    # fast bf16 MXU path despite the package-wide highest-precision default
+    sim = jnp.dot(d1, d2.T, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.DEFAULT)  # [N1,N2]
     s1, s2, idx = _best2(sim, valid2)
     dist1 = jnp.arccos(jnp.clip(s1, -1.0, 1.0))
     dist2 = jnp.arccos(jnp.clip(s2, -1.0, 1.0))

@@ -31,12 +31,12 @@ def kmeans(desc: Array, key: Array, k: int = 64, iters: int = 10) -> Array:
         # nearest centroid by dot products (descriptors ~unit norm)
         d2 = (
             jnp.sum(desc**2, 1)[:, None]
-            - 2 * desc @ cent.T
+            - 2 * jnp.matmul(desc, cent.T, precision=jax.lax.Precision.DEFAULT)
             + jnp.sum(cent**2, 1)[None, :]
         )
         assign = jnp.argmin(d2, axis=1)
         onehot = jax.nn.one_hot(assign, k, dtype=desc.dtype)  # [N,k]
-        sums = onehot.T @ desc  # [k,D]
+        sums = jnp.matmul(onehot.T, desc, precision=jax.lax.Precision.DEFAULT)  # [k,D]
         counts = jnp.sum(onehot, axis=0)[:, None]
         new = jnp.where(counts > 0, sums / jnp.maximum(counts, 1), cent)
         return new, None
@@ -51,7 +51,7 @@ def vlad(desc: Array, valid: Array, centroids: Array) -> Array:
     k, D = centroids.shape
     d2 = (
         jnp.sum(desc**2, 1)[:, None]
-        - 2 * desc @ centroids.T
+        - 2 * jnp.matmul(desc, centroids.T, precision=jax.lax.Precision.DEFAULT)
         + jnp.sum(centroids**2, 1)[None, :]
     )
     assign = jnp.argmin(d2, axis=1)
@@ -106,7 +106,7 @@ def query(index: RetrievalIndex, image_id, num: int) -> list:
         qi = index.ids.index(image_id)
     except ValueError:
         return []
-    sims = index.vlads @ index.vlads[qi]
+    sims = jnp.matmul(index.vlads, index.vlads[qi], precision=jax.lax.Precision.DEFAULT)
     order = np.argsort(-sims)
     out = [index.ids[int(o)] for o in order if index.ids[int(o)] != image_id]
     return out[:num]

@@ -63,12 +63,26 @@ def _tex_ground(x, z):
     return _tex(x, z, 7)
 
 
-def render_corridor(q_cw, t_cw, width=640, height=480, focal=500.0):
-    """Render one view; returns float32 [H,W] in [0,1]."""
+def render_corridor(q_cw, t_cw, width=640, height=480, focal=500.0,
+                    model_id=None, params=None):
+    """Render one view; returns float32 [H,W] in [0,1].
+
+    With model_id/params given, renders through that camera model: each pixel
+    ray passes through iterative undistortion (np_geom.image_to_world), so a
+    world point projected by the SAME model lands back on its pixel — the
+    setup the reference's lidar path assumes (pcd_projection.cc:561-594
+    hardcodes OpenCV distortion)."""
     yy, xx = np.mgrid[0:height, 0:width].astype(np.float64)
-    dirs_cam = np.stack(
-        [(xx - width / 2) / focal, (yy - height / 2) / focal, np.ones_like(xx)], -1
-    )
+    if model_id is not None:
+        xy = np.stack([xx.ravel(), yy.ravel()], -1)
+        m = np_geom.image_to_world(model_id, np.asarray(params, np.float64), xy)
+        dirs_cam = np.concatenate(
+            [m, np.ones((m.shape[0], 1))], -1
+        ).reshape(height, width, 3)
+    else:
+        dirs_cam = np.stack(
+            [(xx - width / 2) / focal, (yy - height / 2) / focal, np.ones_like(xx)], -1
+        )
     R_wc = np_geom.quat_to_rotmat(np_geom.quat_conj(q_cw))
     C = np_geom.projection_center(q_cw, t_cw)
     d = dirs_cam @ R_wc.T  # world-frame ray directions [H,W,3]

@@ -98,3 +98,68 @@ def test_full_stack_from_pixels(tmp_path):
     # real SIFT features on rendered imagery: decimeter-level is a pass for
     # 6 frames; the synthetic-correspondence tests pin the cm-level behavior
     assert ate < 0.25, f"ATE {ate:.3f} m"
+
+
+@pytest.mark.slow
+def test_full_stack_from_pixels_opencv(tmp_path):
+    """Pixels->map e2e with a DISTORTED camera (OPENCV model): the render,
+    SIFT keypoints, PnP, triangulation, lidar depth-projection association,
+    and BA all run through the full OpenCV distortion — the configuration the
+    reference's hot path assumes (pcd_projection.cc:561-594)."""
+    from PIL import Image as PILImage
+
+    OPENCV = 4
+    params = np.asarray([F, F, W / 2, H / 2, -0.12, 0.05, 0.001, -0.0005])
+    n_images = 6
+    gt = make_gt(n_images)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i, (q, t) in enumerate(gt):
+        im = render_corridor(q, t, W, H, F, model_id=OPENCV, params=params)
+        PILImage.fromarray((im * 255).astype(np.uint8)).save(img_dir / f"v{i:03d}.png")
+
+    dbp = str(tmp_path / "db.db")
+    n = run_feature_extractor(
+        dbp, str(img_dir),
+        SiftExtractionConfig(max_num_features=2048, first_octave=0, num_octaves=3, max_image_size=640),
+    )
+    assert n == n_images
+    n_pairs = run_sequential_matcher(
+        dbp, SiftMatchingConfig(min_num_inliers=15), overlap=3, quadratic_overlap=False
+    )
+    assert n_pairs >= n_images - 1, n_pairs
+
+    db = Database(dbp)
+    rec = Reconstruction()
+    rec.add_camera(Camera(1, OPENCV, W, H, params))
+    for iid, im in sorted(db.images().items()):
+        kp = db.read_keypoints(iid)
+        rec.add_image(Image(iid, im["name"], 1, xys=kp[:, :2].astype(np.float64)))
+    graph = CorrespondenceGraph()
+    for i, j in db.all_two_view_pair_ids():
+        g = db.read_two_view_geometry(i, j)
+        if g is not None and len(g["inlier_matches"]) >= 15:
+            graph.add_matches(i, j, g["inlier_matches"].astype(np.int32))
+    db.close()
+
+    map_pts, map_nrm = build_corridor_map(np.random.default_rng(0), length=n_images * 0.8 + 25)
+    lmap = LidarMap.from_arrays(map_pts, map_nrm, pc_ops.ProjOptions())
+
+    opts = MapperOptions(
+        if_add_lidar_constraint=True,
+        init_image_id1=1, init_image_id2=2,
+        init_min_num_inliers=40,
+        abs_pose_min_num_inliers=12,
+        abs_pose_min_inlier_ratio=0.15,
+        num_ransac_hypotheses=2048,
+        filter_max_reproj_error=6.0,
+    )
+    ctl = IncrementalMapperController(
+        rec, graph, opts, ControllerOptions(verbose=False),
+        lidar_map=lmap, pose_priors={1: gt[0]},
+    )
+    ok = ctl.reconstruct()
+    assert ok
+    assert rec.num_reg_images >= n_images - 1, rec.num_reg_images
+    ate = ate_rmse(rec, gt)
+    assert ate < 0.25, f"ATE {ate:.3f} m"
