@@ -740,11 +740,15 @@ class IncrementalMapper:
 
     # -------------------------------------------------------------- local BA
     def find_local_bundle(self, opts: MapperOptions, image_id: int) -> list[int]:
-        """Most-covisible registered images (FindLocalBundle, :1747 — shared
-        3D point count; the reference's triangulation-angle re-ranking is
-        approximated by covisibility alone)."""
+        """Most-covisible registered images with triangulation-angle
+        re-ranking (FindLocalBundle, sfm/incremental_mapper.cc:1747-1914):
+        candidates are ordered by shared-point count, but a candidate only
+        enters the bundle directly if the median triangulation angle of its
+        shared points (at the point, between the two camera centers) clears
+        local_ba_min_tri_angle — weak-baseline views are deferred and only
+        fill remaining slots."""
         img = self.rec.images[image_id]
-        shared: dict[int, int] = {}
+        shared: dict[int, list[np.ndarray]] = {}
         for fidx in np.nonzero(img.point3D_ids != INVALID_POINT3D)[0]:
             pid = int(img.point3D_ids[fidx])
             p = self.rec.points3D.get(pid)
@@ -752,9 +756,32 @@ class IncrementalMapper:
                 continue
             for iid, _ in p.track:
                 if iid != image_id and self.rec.images[iid].registered:
-                    shared[iid] = shared.get(iid, 0) + 1
-        ranked = sorted(shared.items(), key=lambda kv: -kv[1])
-        return [iid for iid, _ in ranked[: opts.local_ba_num_images]]
+                    shared.setdefault(iid, []).append(p.xyz)
+        ranked = sorted(shared.items(), key=lambda kv: -len(kv[1]))
+        n_want = opts.local_ba_num_images
+        min_angle = math.radians(opts.local_ba_min_tri_angle)
+        C_new = img.projection_center()
+        selected: list[int] = []
+        deferred: list[int] = []
+        for iid, xyzs in ranked:
+            if len(selected) >= n_want:
+                break
+            xyz = np.asarray(xyzs)
+            C2 = self.rec.images[iid].projection_center()
+            d1 = C_new[None, :] - xyz
+            d2 = C2[None, :] - xyz
+            denom = np.linalg.norm(d1, axis=1) * np.linalg.norm(d2, axis=1)
+            cosang = np.einsum("ij,ij->i", d1, d2) / np.maximum(denom, 1e-12)
+            angles = np.arccos(np.clip(cosang, -1.0, 1.0))
+            if np.median(angles) >= min_angle:
+                selected.append(iid)
+            else:
+                deferred.append(iid)
+        for iid in deferred:
+            if len(selected) >= n_want:
+                break
+            selected.append(iid)
+        return selected[:n_want]
 
     def adjust_local_bundle(
         self, opts: MapperOptions, image_id: int, point3D_ids: set[int]
