@@ -14,6 +14,8 @@ Configurations (two_view_geometry.h:48-66):
 
 from __future__ import annotations
 
+import functools
+
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -185,15 +187,14 @@ def estimate_two_view_geometry(
     fi2 = cm._FOCAL_IDX[model_id2]
     f_mean = float(np.mean([p1[fi1[0]], p1[fi1[1]], p2[fi2[0]], p2[fi2[1]]]))
 
-    key = jax.random.PRNGKey(seed)
-    k1, k2, k3 = jax.random.split(key, 3)
     ro = ransac_ops.RansacOptions(max_error=opts.max_error, num_hypotheses=opts.num_hypotheses)
-    ro_norm = ransac_ops.RansacOptions(
-        max_error=opts.max_error / f_mean, num_hypotheses=opts.num_hypotheses
+    # one fused device program for all three geometries: under the axon
+    # tunnel every dispatch costs ~10-25 ms and each int() forces a sync —
+    # three separate RANSAC calls triple that per image pair
+    resE, resF, resH = _ransac_efh(
+        n1, n2, uv1j, uv2j, valid, jnp.asarray(seed, jnp.uint32),
+        ro, opts.max_error / f_mean, qual,
     )
-    resE = ransac_ops.ransac_essential(n1, n2, valid, k1, ro_norm, qual)
-    resF = ransac_ops.ransac_fundamental(uv1j, uv2j, valid, k2, ro, qual)
-    resH = ransac_ops.ransac_homography(uv1j, uv2j, valid, k3, ro, qual)
     nE, nF, nH = int(resE.num_inliers), int(resF.num_inliers), int(resH.num_inliers)
 
     out.E = np.asarray(resE.model)
@@ -242,6 +243,18 @@ def estimate_two_view_geometry(
         if ok.sum() > 0:
             out.tri_angle = float(np.median(ang[ok]))
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("ro",))
+def _ransac_efh(n1, n2, uv1, uv2, valid, seed, ro, e_max_error, qual):
+    """E + F + H RANSAC banks as ONE compiled program (single dispatch)."""
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+    ro_norm = ro._replace(max_error=e_max_error)
+    resE = ransac_ops.ransac_essential(n1, n2, valid, k1, ro_norm, qual)
+    resF = ransac_ops.ransac_fundamental(uv1, uv2, valid, k2, ro, qual)
+    resH = ransac_ops.ransac_homography(uv1, uv2, valid, k3, ro, qual)
+    return resE, resF, resH
 
 
 @jax.jit
