@@ -11,9 +11,11 @@ MXU descriptor matching, LORANSAC verification, PnP registration,
 lidar-constrained local/spherical-global BA) with exact ground truth.
 
 Headline metric: steady-state frames registered per second — the mean rate
-over the SECOND HALF of the run, after one-time XLA compilations (no
-compile cache survives through the axon tunnel) and bucket growth have
-settled. The JSON also carries the per-image rate curve so flatness at
+over the SECOND HALF of the run, after one-time XLA compilations and bucket
+growth have settled. The persistent XLA compilation cache IS functional
+under the axon tunnel (measured: 175 s -> 2.5 s for the SIFT program), so
+this run warms /tmp/jax_cache_colmap_pcd and repeat runs on the same machine
+start hot. The JSON also carries the per-image rate curve so flatness at
 scale is checkable, the phase breakdown, and an estimated MFU.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); the only
@@ -101,6 +103,14 @@ def render_dataset(img_dir, gt, log):
 
 def main():
     _ensure_device()
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("COLMAP_PCD_TPU_CACHE", "/tmp/jax_cache_colmap_pcd"),
+    )
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     n_images = int(os.environ.get("BENCH_N_IMAGES", "100"))
     step = 0.8
     verbose = os.environ.get("BENCH_VERBOSE", "1") != "0"

@@ -158,14 +158,17 @@ class IncrementalMapperController:
         from .triangulator import TriangulatorOptions
 
         topts = TriangulatorOptions()
-        self.mapper.triangulator.complete_tracks(topts, tri_opts_pids)
-        self.mapper.triangulator.merge_tracks(topts, tri_opts_pids)
+        with PHASES.phase("global_track_complete_merge"):
+            self.mapper.triangulator.complete_tracks(topts, tri_opts_pids)
+            self.mapper.triangulator.merge_tracks(topts, tri_opts_pids)
         for _ in range(self.copts.ba_global_max_refinements):
-            if opts.if_add_lidar_constraint:
-                self.mapper.adjust_global_bundle_by_lidar(opts)
-            else:
-                self.mapper.adjust_global_bundle(opts)
-            n_changed = self.mapper.filter_points(opts)
+            with PHASES.phase("global_ba_solve"):
+                if opts.if_add_lidar_constraint:
+                    self.mapper.adjust_global_bundle_by_lidar(opts)
+                else:
+                    self.mapper.adjust_global_bundle(opts)
+            with PHASES.phase("global_filter"):
+                n_changed = self.mapper.filter_points(opts)
             n_obs = sum(len(p.track) for p in self.rec.points3D.values())
             if n_changed / max(n_obs, 1) < self.copts.ba_global_max_refinement_change:
                 break

@@ -906,14 +906,18 @@ class IncrementalMapper:
             pose_fixed_ids.add(opts.init_image_id1)
 
         # points observed by variable images -> variable + NN association
+        # (vectorized: one unique over the concatenated id arrays, not a
+        # Python loop over every feature of every in-sphere image)
+        all_ids = np.concatenate(
+            [self.rec.images[iid].point3D_ids for iid in variable_imgs]
+        )
+        uniq = np.unique(all_ids[all_ids != INVALID_POINT3D])
         variable_pids = set()
-        for iid in variable_imgs:
-            img = self.rec.images[iid]
-            for fidx in np.nonzero(img.point3D_ids != INVALID_POINT3D)[0]:
-                pid = int(img.point3D_ids[fidx])
-                if pid in self.rec.points3D:
-                    variable_pids.add(pid)
-                    self.rec.points3D[pid].in_sphere = True
+        for pid in uniq:
+            p = self.rec.points3D.get(int(pid))
+            if p is not None:
+                variable_pids.add(int(pid))
+                p.in_sphere = True
 
         self.rec.clear_lidar_points_in_global()
         pids = sorted(variable_pids)
