@@ -198,6 +198,52 @@ class IncrementalMapper:
         self._proj_cache[image_id] = result
         return result
 
+    def _project_images_to_cloud(self, image_ids):
+        """Batch-fill the projection cache for several views at once: one
+        vmapped depth_project dispatch per camera group instead of one per
+        view (Project2Image across the track set of a local-BA round)."""
+        todo = [i for i in dict.fromkeys(image_ids) if i not in self._proj_cache]
+        if len(todo) < 2 or self.lidar_map is None:
+            return
+        by_cam: dict[int, list[int]] = {}
+        for iid in todo:
+            by_cam.setdefault(self.rec.images[iid].camera_id, []).append(iid)
+        for cam_id, iids in by_cam.items():
+            cam = self.rec.cameras[cam_id]
+            feat_sets = []
+            for iid in iids:
+                img = self.rec.images[iid]
+                feat_sets.append(np.nonzero(img.point3D_ids != INVALID_POINT3D)[0])
+            F = max((f.size for f in feat_sets), default=0)
+            if F == 0:
+                for iid in iids:
+                    self._proj_cache[iid] = {}
+                continue
+            B = len(iids)
+            fxy = np.zeros((B, F, 2), np.float32)
+            fval = np.zeros((B, F), np.float32)
+            qs = np.zeros((B, 4), np.float32)
+            ts = np.zeros((B, 3), np.float32)
+            for b, (iid, fidx) in enumerate(zip(iids, feat_sets)):
+                img = self.rec.images[iid]
+                fxy[b, : fidx.size] = img.xys[fidx]
+                fval[b, : fidx.size] = 1.0
+                qs[b] = img.qvec
+                ts[b] = img.tvec
+            out = self.lidar_map.project_to_images(
+                fxy, fval, qs, ts, cam.padded_params(), cam.model_id,
+                cam.width, cam.height,
+            )
+            for b, (iid, fidx) in enumerate(zip(iids, feat_sets)):
+                img = self.rec.images[iid]
+                result = {}
+                for k in range(fidx.size):
+                    if out["found"][b, k]:
+                        result[int(img.point3D_ids[fidx[k]])] = (
+                            out["lidar_pt"][b, k], out["lidar_nrm"][b, k]
+                        )
+                self._proj_cache[iid] = result
+
     def _match_variable_points_to_lidar(self, point3D_ids, image_id: int, opts: MapperOptions):
         """Project2Image + MatchVariablePoint2LidarPoint, batched: across each
         track's cached projections, pick the lidar match whose (point -
@@ -214,6 +260,14 @@ class IncrementalMapper:
                 ok = not (corrs and corrs <= opts.ba_match_features_threshold)
                 gate_cache[iid] = ok
             return ok
+
+        # pre-batch the projections for every track image of this round
+        need: list[int] = []
+        for pid in point3D_ids:
+            p = self.rec.points3D.get(pid)
+            if p is not None:
+                need.extend(iid for iid, _ in p.track if gate(iid))
+        self._project_images_to_cloud(need)
 
         cand_pid, cand_lpt, cand_lnr, cand_xyz = [], [], [], []
         for pid in point3D_ids:

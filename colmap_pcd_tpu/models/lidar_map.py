@@ -139,23 +139,22 @@ class LidarMap:
         if sel.size == 0:
             idx = np.zeros(0, np.int64)
         else:
-            idx = np.concatenate(
-                [np.arange(s, s + c) for s, c in zip(self.cell_start[sel], self.cell_count[sel])]
+            counts = self.cell_count[sel]
+            total = int(counts.sum())
+            # vectorized CSR expansion (no Python loop over cells)
+            base = np.repeat(self.cell_start[sel], counts)
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(counts) - counts, counts
             )
+            idx = base + within
         n = idx.size
         if budget is None:
-            # one compiled depth_project shape per map: pad to the fixed
-            # per-map budget (next 4x step above the largest cell count the
-            # map could put in a frustum, min 256k) — every new shape costs
-            # minutes of remote compilation under the axon tunnel
-            cap = getattr(self, "_budget_cap", None)
-            if cap is None:
-                e = int(np.ceil(np.log2(max(self.num_points, 1)) / 2) * 2)
-                cap = max(min(1 << e, 1 << 22), 262144)
-                self._budget_cap = cap
-            budget = cap
-            if n > budget:
-                budget = 1 << int(np.ceil(np.log2(n)))
+            # pad to a power-of-two bucket (min 32k): each bucket compiles
+            # depth_project once EVER (the persistent compilation cache holds
+            # it across processes), and tight buckets avoid streaming a
+            # whole-map-sized padded candidate set through the VPU when the
+            # frustum holds a small fraction of the map
+            budget = max(32768, 1 << int(np.ceil(np.log2(max(n, 1)))))
         if n > budget:
             import logging
 
@@ -217,6 +216,65 @@ class LidarMap:
             "lidar_pt": np.asarray(lpt)[:F],
             "lidar_nrm": np.asarray(lnr)[:F],
             "found": np.asarray(found)[:F],
+        }
+
+    # ------------------------------------------------------------------
+    def project_to_images(
+        self,
+        feat_xy: np.ndarray,  # [B,F,2] full-res pixels (zero-padded rows ok)
+        feat_valid: np.ndarray,  # [B,F]
+        qs: np.ndarray,  # [B,4]
+        ts: np.ndarray,  # [B,3]
+        params,
+        model_id: int,
+        width: int,
+        height: int,
+    ):
+        """Batched project_to_image for B views sharing one camera: one
+        vmapped depth_project dispatch instead of B (the tunnel charges
+        ~10-25 ms per dispatch; a local-BA round projects ~7 views).
+
+        Returns dict with lidar_pt [B,F,3], lidar_nrm [B,F,3], found [B,F].
+        """
+        B, F = feat_xy.shape[:2]
+        Fp = max(1024, 1 << int(np.ceil(np.log2(max(F, 1)))))
+        if Fp != F:
+            feat_xy = np.concatenate(
+                [feat_xy, np.zeros((B, Fp - F, 2), np.float32)], axis=1
+            )
+            feat_valid = np.concatenate(
+                [feat_valid, np.zeros((B, Fp - F), np.float32)], axis=1
+            )
+        # per-view candidates, padded to the largest view's bucket
+        cands = [
+            self.frustum_candidates(qs[b], ts[b], params, model_id, width, height)
+            for b in range(B)
+        ]
+        M = max(c[0].shape[0] for c in cands)
+        cand_idx = np.zeros((B, M), np.int64)
+        cand_valid = np.zeros((B, M), np.float32)
+        for b, (ci, cv) in enumerate(cands):
+            cand_idx[b, : ci.shape[0]] = ci
+            cand_valid[b, : cv.shape[0]] = cv
+        ji = jnp.asarray(cand_idx)
+        lpt, lnr, found = pc_ops.depth_project_batch(
+            jnp.asarray(feat_xy, jnp.float32),
+            jnp.asarray(feat_valid, jnp.float32),
+            self.d_points[ji],
+            self.d_normals[ji],
+            jnp.asarray(cand_valid),
+            jnp.asarray(qs, jnp.float32),
+            jnp.asarray(ts, jnp.float32),
+            jnp.broadcast_to(jnp.asarray(params, jnp.float32), (B, 12)),
+            width,
+            height,
+            model_id,
+            self.opts,
+        )
+        return {
+            "lidar_pt": np.asarray(lpt)[:, :F],
+            "lidar_nrm": np.asarray(lnr)[:, :F],
+            "found": np.asarray(found)[:, :F],
         }
 
     # ------------------------------------------------------------------

@@ -210,6 +210,19 @@ def depth_project(
     return lpt, lnr, found
 
 
+@functools.partial(jax.jit, static_argnames=("width", "height", "model_id", "opts", "block"))
+def depth_project_batch(
+    feat_xy, feat_valid, cand_pts, cand_nrm, cand_valid, q, t, params,
+    width, height, model_id, opts: ProjOptions, block: int = 8192,
+):
+    """vmapped depth_project over a batch of views (leading axis B)."""
+    return jax.vmap(
+        lambda fx, fv, cp, cn, cv, qq, tt, pp: depth_project(
+            fx, fv, cp, cn, cv, qq, tt, pp, width, height, model_id, opts, block
+        )
+    )(feat_xy, feat_valid, cand_pts, cand_nrm, cand_valid, q, t, params)
+
+
 @functools.partial(jax.jit, static_argnames=("block",))
 def nn_query(
     queries: Array,  # [Q,3]
