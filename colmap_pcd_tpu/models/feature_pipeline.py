@@ -79,6 +79,7 @@ def run_feature_extractor(
         peak_threshold=extraction.peak_threshold,
         edge_threshold=extraction.edge_threshold,
         upright=extraction.upright,
+        estimate_affine_shape=extraction.estimate_affine_shape,
         domain_size_pooling=extraction.domain_size_pooling,
         dsp_min_scale=extraction.dsp_min_scale,
         dsp_max_scale=extraction.dsp_max_scale,

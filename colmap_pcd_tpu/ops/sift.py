@@ -50,6 +50,12 @@ class SiftOptions(NamedTuple):
     dsp_min_scale: float = 1.0 / 6.0
     dsp_max_scale: float = 3.0
     dsp_num_scales: int = 10
+    # affine shape adaptation (sift.h:98-100 estimate_affine_shape; VLFeat
+    # covariant detector): iterate the gradient second-moment matrix to an
+    # isotropic frame, then sample orientation + descriptor through the
+    # affine transform. Default off as in COLMAP.
+    estimate_affine_shape: bool = False
+    affine_iterations: int = 3
 
 
 def _gauss_kernel(sigma: float) -> np.ndarray:
@@ -171,6 +177,55 @@ def _extrema_candidates(dog: Array, opts: SiftOptions):
     return score
 
 
+def _affine_shape(gx_st, gy_st, kx, ky, sigma_rel, opts, lidx, wh):
+    """Affine shape adaptation: per-keypoint 2x2 transform A (det 1) that
+    isotropizes the local gradient second-moment matrix (VLFeat covariant
+    frames backing sift.cc:650 ExtractCovariantSiftFeaturesCPU). Fixed
+    iteration count, batched over keypoints."""
+    K = kx.shape[0]
+    P = 12
+    lin = jnp.linspace(-1.0, 1.0, P)
+    gxg, gyg = jnp.meshgrid(lin, lin)
+    offs = jnp.stack([gxg.ravel(), gyg.ravel()], -1)  # [P*P,2]
+    d2 = jnp.sum(offs * offs, -1)[None, :]
+    w = jnp.exp(-d2 / (2 * 0.5**2)) * (d2 <= 1.0)  # [1,P*P]
+    win_r = 3.0 * 1.5 * sigma_rel  # [K]
+    A = jnp.broadcast_to(jnp.eye(2), (K, 2, 2))
+
+    for _ in range(opts.affine_iterations):
+        world = jnp.einsum("kij,pj->kpi", A, offs) * win_r[:, None, None]
+        coords = jnp.stack([kx, ky], -1)[:, None, :] + world
+        gxs = _bilinear(gx_st, coords, lidx, wh)  # [K,P*P]
+        gys = _bilinear(gy_st, coords, lidx, wh)
+        m00 = jnp.sum(w * gxs * gxs, -1)
+        m01 = jnp.sum(w * gxs * gys, -1)
+        m11 = jnp.sum(w * gys * gys, -1)
+        # inverse square root of M = [[m00,m01],[m01,m11]] (closed form 2x2)
+        tr = m00 + m11
+        det = jnp.maximum(m00 * m11 - m01 * m01, 1e-18)
+        s = jnp.sqrt(det)
+        t = jnp.sqrt(jnp.maximum(tr + 2.0 * s, 1e-18))
+        # sqrtm(M) = (M + s I)/t ; inv via adjugate / det(sqrtm)= s... :
+        r00 = (m00 + s) / t
+        r01 = m01 / t
+        r11 = (m11 + s) / t
+        dr = jnp.maximum(r00 * r11 - r01 * r01, 1e-18)
+        i00 = r11 / dr
+        i01 = -r01 / dr
+        i11 = r00 / dr
+        Minv_sqrt = jnp.stack(
+            [jnp.stack([i00, i01], -1), jnp.stack([i01, i11], -1)], -2
+        )  # [K,2,2]
+        # normalize to det 1 so scale stays owned by sigma
+        dd = jnp.sqrt(jnp.maximum(i00 * i11 - i01 * i01, 1e-18))
+        Minv_sqrt = Minv_sqrt / dd[:, None, None]
+        A = jnp.einsum("kij,kjl->kil", A, Minv_sqrt)
+        # guard against degenerate windows (flat texture): keep A bounded
+        norm = jnp.sqrt(jnp.sum(A * A, axis=(-2, -1), keepdims=True))
+        A = jnp.where(norm > 4.0, A * (4.0 / norm), A)
+    return A
+
+
 def _orientation_and_descriptor(G, kx, ky, sigma_rel, opts, lidx=None, wh=None):
     """Dominant orientation and 128-d descriptor for keypoints sampled on
     their own gaussian level. G is the octave's level stack [L,H,W] with
@@ -185,15 +240,22 @@ def _orientation_and_descriptor(G, kx, ky, sigma_rel, opts, lidx=None, wh=None):
     mag = jnp.sqrt(gx * gx + gy * gy)
     ang = jnp.arctan2(gy, gx)  # [-pi, pi]
 
+    aff = None
+    if opts.estimate_affine_shape:
+        aff = _affine_shape(gx, gy, kx, ky, sigma_rel, opts, lidx, wh)
+
     # ---- orientation: 36-bin histogram over a radius 3*1.5*sigma window ----
     P = 16  # patch sample grid (PxP) over [-r, r]
     win_r = 3.0 * 1.5 * sigma_rel  # [K]
     lin = jnp.linspace(-1.0, 1.0, P)
     gxg, gyg = jnp.meshgrid(lin, lin)
     offs = jnp.stack([gxg.ravel(), gyg.ravel()], -1)  # [P*P, 2] in [-1,1]
+    offs_k = (
+        jnp.einsum("kij,pj->kpi", aff, offs) if aff is not None else offs[None, :, :]
+    )
     coords = (
         jnp.stack([kx, ky], -1)[:, None, :]
-        + offs[None, :, :] * win_r[:, None, None]
+        + offs_k * win_r[:, None, None]
     )  # [K, P*P, 2]
     m = _bilinear(mag, coords, lidx, wh)
     a = _bilinear(ang, coords, lidx, wh)
@@ -238,10 +300,12 @@ def _orientation_and_descriptor(G, kx, ky, sigma_rel, opts, lidx=None, wh=None):
     wxs = spatial_weights(soff[:, 0])  # [DD,4]
     wys = spatial_weights(soff[:, 1])  # [DD,4]
 
+    samp = rot if aff is None else jnp.einsum("kij,kjl->kil", aff, rot)
+
     def raw_descriptor(half):
         """Unnormalized 128-d histogram sampled at window half-size `half`
         (spacing 3*sigma -> half = 2*3*sigma at scale 1)."""
-        world_off = jnp.einsum("kij,pj->kpi", rot, soff) * half[:, None, None]
+        world_off = jnp.einsum("kij,pj->kpi", samp, soff) * half[:, None, None]
         coords = jnp.stack([kx, ky], -1)[:, None, :] + world_off  # [K,DD,2]
         m = _bilinear(mag, coords, lidx, wh)
         a = _bilinear(ang, coords, lidx, wh) - ori[:, None]

@@ -36,6 +36,7 @@ class SiftExtractionConfig:
     peak_threshold: float = 0.02 / 3.0
     edge_threshold: float = 10.0
     upright: bool = False
+    estimate_affine_shape: bool = False  # sift.h:98-100 covariant frames
     domain_size_pooling: bool = False  # DSP-SIFT (sift.h:102)
     dsp_min_scale: float = 1.0 / 6.0
     dsp_max_scale: float = 3.0

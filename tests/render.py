@@ -93,8 +93,9 @@ def render_corridor(q_cw, t_cw, width=640, height=480, focal=500.0,
     def hit(plane_axis, plane_val, tex):
         nonlocal img, best_t
         denom = d[..., plane_axis]
-        t = np.where(np.abs(denom) > 1e-9, (plane_val - C[plane_axis]) / denom, np.inf)
-        pt = C[None, None, :] + t[..., None] * d
+        safe = np.where(np.abs(denom) > 1e-9, denom, 1e-9)
+        t = np.where(np.abs(denom) > 1e-9, (plane_val - C[plane_axis]) / safe, np.inf)
+        pt = C[None, None, :] + np.where(np.isfinite(t), t, 0.0)[..., None] * d
         ok = (t > 0.05) & (t < best_t) & (pt[..., 2] > -1.0) & (pt[..., 2] < 500.0)
         if plane_axis == 0:  # walls: inside the corridor vertically
             ok &= (pt[..., 1] > -2.5) & (pt[..., 1] < 2.05)

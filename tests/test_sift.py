@@ -124,3 +124,32 @@ def test_dsp_sift_descriptors(rng):
     np.testing.assert_allclose((d2**2).sum(-1), 1.0, atol=1e-3)
     # pooled differs from single-scale
     assert np.abs(d2 - np.asarray(d1)[v2]).max() > 1e-3
+
+
+def test_affine_shape_extraction():
+    """estimate_affine_shape (sift.h:98-100): adaptation must keep the
+    pipeline working and remain near-identity on isotropic texture, while
+    still matching across views."""
+    import jax.numpy as jnp
+
+    from render import render_corridor
+    from colmap_pcd_tpu.ops import matching
+
+    q = np.asarray([1.0, 0, 0, 0])
+    t = np.zeros(3)
+    img1 = render_corridor(q, t, 320, 240, 260.0)
+    img2 = render_corridor(q, np.asarray([0.0, 0, -0.4]), 320, 240, 260.0)
+    opts = sift.SiftOptions(
+        max_num_features=512, first_octave=0, num_octaves=3,
+        estimate_affine_shape=True,
+    )
+    kp1, d1, s1, v1 = sift.extract(jnp.asarray(img1), opts)
+    kp2, d2, s2, v2 = sift.extract(jnp.asarray(img2), opts)
+    assert int(np.asarray(v1).sum()) > 100
+    idx, ok, _ = matching.match_descriptors(
+        matching.normalize_descriptors(d1), matching.normalize_descriptors(d2),
+        jnp.asarray(np.asarray(v1), jnp.float32).astype(jnp.float32),
+        jnp.asarray(np.asarray(v2), jnp.float32).astype(jnp.float32),
+    )
+    n = int(np.asarray(ok).sum())
+    assert n > 40, n
