@@ -906,9 +906,11 @@ def cmd_database_creator(argv):
 
 
 def cmd_automatic_reconstructor(argv):
-    """One-click sparse pipeline (AutomaticReconstructionController parity,
-    sparse stage: extract -> match -> map)."""
+    """One-click pipeline (AutomaticReconstructionController parity):
+    extract -> match -> map, then with --dense 1 the dense stage
+    (undistort -> stereo -> fusion -> poisson mesh)."""
     workspace = image_path = None
+    dense = False
     filtered = []
     it = iter(argv)
     for a in it:
@@ -916,6 +918,8 @@ def cmd_automatic_reconstructor(argv):
             workspace = next(it)
         elif a == "--image_path":
             image_path = next(it)
+        elif a == "--dense":
+            dense = next(it).lower() in ("1", "true")
         else:
             filtered.append(a)
     om, _ = _opt(filtered)
@@ -928,10 +932,30 @@ def cmd_automatic_reconstructor(argv):
     )
     cmd_exhaustive_matcher(["--database_path", om.database_path] + filtered)
     os.makedirs(os.path.join(workspace, "sparse"), exist_ok=True)
-    return cmd_mapper(
+    rc = cmd_mapper(
         ["--database_path", om.database_path, "--image_path", image_path,
          "--output_path", os.path.join(workspace, "sparse")] + filtered
     )
+    if rc != 0 or not dense:
+        return rc
+    sparse0 = os.path.join(workspace, "sparse", "0")
+    if not os.path.isdir(sparse0):
+        sparse0 = os.path.join(workspace, "sparse")
+    dense_dir = os.path.join(workspace, "dense")
+    rc = cmd_image_undistorter(
+        ["--image_path", image_path, "--input_path", sparse0,
+         "--output_path", dense_dir]
+    )
+    if rc == 0:
+        rc = cmd_patch_match_stereo(["--workspace_path", dense_dir])
+    if rc == 0:
+        rc = cmd_stereo_fusion(["--workspace_path", dense_dir])
+    if rc == 0:
+        rc = cmd_poisson_mesher(
+            ["--input_path", os.path.join(dense_dir, "fused.ply"),
+             "--output_path", os.path.join(dense_dir, "meshed-poisson.ply")]
+        )
+    return rc
 
 
 def cmd_model_viewer(argv):
