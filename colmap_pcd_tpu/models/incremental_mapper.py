@@ -118,6 +118,14 @@ class LocalBAReport:
     num_filtered_observations: int = 0
 
 
+def _bucket4(n: int, minimum: int = 16) -> int:
+    """Power-of-FOUR bucket: fewer distinct compiled shapes for dimensions
+    whose padding is cheap."""
+    b = max(minimum, n)
+    e = math.ceil(math.log(b / minimum, 4))
+    return minimum * (4 ** int(e))
+
+
 def _bucket(n: int, minimum: int = 16) -> int:
     """Round up to a power of two to bound jit recompilations."""
     return max(minimum, 1 << int(math.ceil(math.log2(max(n, 1)))))
@@ -1105,10 +1113,17 @@ class IncrementalMapper:
         if n_obs == 0 or uniq_pids.size == 0:
             return
 
-        C = _bucket(len(img_ids), 16)
-        P = _bucket(uniq_pids.size, 2048)
+        # Bucket shape policy: every distinct (C,P,N,T) combo is one XLA
+        # compilation (minutes through the axon tunnel, cached persistently).
+        # Coarsen the cheap dimensions to 4x steps (cameras and points pad
+        # nearly for free — cost scales with observations N, which keeps 2x
+        # steps) and clamp T to {16,64} so combo count stays single-digit
+        # over a whole run.
+        C = _bucket4(len(img_ids), 16)
+        P = _bucket4(uniq_pids.size, 2048)
         N = _bucket(n_obs, 8192)
-        T = _bucket(int(np.bincount(obs_pt_slots).max()), 16)
+        t_max = int(np.bincount(obs_pt_slots).max())
+        T = 16 if t_max <= 16 else (64 if t_max <= 64 else _bucket(t_max))
 
         cam_q = np.zeros((C, 4), np.float32)
         cam_q[:, 0] = 1.0

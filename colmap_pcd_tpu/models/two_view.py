@@ -164,10 +164,13 @@ def estimate_two_view_geometry(
         return out
     from ..ops import np_geom
 
-    # pad the match count to a power-of-two bucket: per-pair match counts
-    # vary freely, and an unbucketed N would recompile the three RANSAC
-    # programs for every distinct count
-    cap = max(64, 1 << int(np.ceil(np.log2(N))))
+    # pad the match count to a power-of-FOUR bucket (128/512/2048/...):
+    # per-pair match counts vary freely, each distinct cap compiles the fused
+    # E/F/H program once (minutes through the axon tunnel), and RANSAC cost
+    # is dominated by the hypothesis count, not the padded point count
+    import math as _math
+
+    cap = 128 * 4 ** max(0, _math.ceil(_math.log(max(N, 1) / 128, 4)))
     uv1p = np.concatenate([uv1, np.zeros((cap - N, 2))]) if cap > N else uv1
     uv2p = np.concatenate([uv2, np.zeros((cap - N, 2))]) if cap > N else uv2
     valid = jnp.asarray(np.arange(cap) < N, jnp.float32)
