@@ -35,6 +35,18 @@ from ..utils.threading_utils import pipeline_map
 from .database import Database
 from . import two_view as two_view_mod
 
+import functools
+
+import jax
+
+
+@functools.partial(jax.jit, static_argnames=("mopts",))
+def _match_descriptors_batch(d1, d2, v1, v2, mopts):
+    """vmapped descriptor matching over a pair block [B,N,128]."""
+    return jax.vmap(
+        lambda a, b, va, vb: matching_ops.match_descriptors(a, b, va, vb, mopts)
+    )(d1, d2, v1, v2)
+
 
 IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff", ".ppm", ".pgm")
 
@@ -184,6 +196,112 @@ class _MatchWorker:
             self._cache[image_id] = (kp_p, jnp.asarray(d_p), jnp.asarray(v))
         return self._cache[image_id]
 
+    def match_pairs(self, pair_list, chunk: int = 16) -> int:
+        """Batched pair matching + verification: descriptor matching for a
+        whole chunk is one vmapped MXU dispatch, and geometric verification is
+        one fused-EFH dispatch (estimate_two_view_geometry_batch) — instead of
+        2+ dispatches per pair (the reference fans pairs over CPU worker
+        threads, matching.h:222-345; the TPU analog is batching).
+
+        Returns the number of pairs with a verified geometry."""
+        if getattr(self.cfg, "use_pallas", False) or self.cfg.guided_matching:
+            return sum(1 if self.match_pair(i, j) else 0 for i, j in pair_list)
+        n_ok = 0
+        for c0 in range(0, len(pair_list), chunk):
+            n_ok += self._match_pairs_chunk(pair_list[c0 : c0 + chunk])
+        return n_ok
+
+    def _match_pairs_chunk(self, pairs) -> int:
+        feats = [(self._feats(i), self._feats(j)) for i, j in pairs]
+        B = len(pairs)
+        cap = max(
+            max(f1[1].shape[0] for f1, _ in feats),
+            max(f2[1].shape[0] for _, f2 in feats),
+        )
+
+        def repad(d, v):
+            k = cap - d.shape[0]
+            if k == 0:
+                return d, v
+            return (
+                jnp.concatenate([d, jnp.zeros((k, d.shape[1]), d.dtype)]),
+                jnp.concatenate([v, jnp.zeros((k,), v.dtype)]),
+            )
+
+        d1s, v1s, d2s, v2s = [], [], [], []
+        for (kp1, d1, v1), (kp2, d2, v2) in feats:
+            d1p, v1p = repad(d1, v1)
+            d2p, v2p = repad(d2, v2)
+            d1s.append(d1p)
+            v1s.append(v1p)
+            d2s.append(d2p)
+            v2s.append(v2p)
+        mopts = matching_ops.MatchingOptions(
+            max_ratio=self.cfg.max_ratio,
+            max_distance=self.cfg.max_distance,
+            cross_check=self.cfg.cross_check,
+            guided_max_error=self.cfg.max_error,
+        )
+        idx_b, ok_b, sim_b = _match_descriptors_batch(
+            jnp.stack(d1s), jnp.stack(d2s), jnp.stack(v1s), jnp.stack(v2s), mopts
+        )
+        idx_b = np.asarray(idx_b)
+        ok_b = np.asarray(ok_b)
+        sim_b = np.asarray(sim_b)
+        from ..utils.flops import FLOPS
+
+        FLOPS.add(2.0 * B * cap * cap * 128, "matching")
+
+        items, meta = [], []
+        for b, (id1, id2) in enumerate(pairs):
+            rows = np.nonzero(ok_b[b])[0]
+            mpairs = np.stack([rows, idx_b[b][rows]], axis=-1).astype(np.int32)
+            if len(mpairs) < self.cfg.min_num_inliers:
+                self.db.write_matches(id1, id2, np.zeros((0, 2), np.uint32))
+                continue
+            self.db.write_matches(id1, id2, mpairs)
+            kp1 = feats[b][0][0]
+            kp2 = feats[b][1][0]
+            cam1 = self.cameras[self.images[id1]["camera_id"]]
+            cam2 = self.cameras[self.images[id2]["camera_id"]]
+            items.append(dict(
+                uv1=kp1[mpairs[:, 0], :2],
+                uv2=kp2[mpairs[:, 1], :2],
+                params1=np_geom.pad_params(
+                    cam1["params"][: cm.NUM_PARAMS[cam1["model_id"]]], cam1["model_id"]
+                ),
+                params2=np_geom.pad_params(
+                    cam2["params"][: cm.NUM_PARAMS[cam2["model_id"]]], cam2["model_id"]
+                ),
+                model_id1=cam1["model_id"],
+                model_id2=cam2["model_id"],
+                size1=(cam1["width"], cam1["height"]),
+                size2=(cam2["width"], cam2["height"]),
+                quality=sim_b[b][mpairs[:, 0]],
+            ))
+            meta.append((id1, id2, mpairs))
+        if not items:
+            return 0
+        geoms = two_view_mod.estimate_two_view_geometry_batch(
+            items,
+            two_view_mod.TwoViewOptions(
+                max_error=self.cfg.max_error,
+                min_num_inliers=self.cfg.min_num_inliers,
+            ),
+        )
+        n_ok = 0
+        for (id1, id2, mpairs), g in zip(meta, geoms):
+            rows = g.inlier_matches[:, 0] if len(g.inlier_matches) else np.zeros(0, np.int64)
+            inliers = mpairs[rows] if len(rows) else np.zeros((0, 2), np.uint32)
+            self.db.write_two_view_geometry(
+                id1, id2, inliers, g.config, F=g.F, E=g.E, H=g.H,
+                qvec=g.qvec, tvec=g.tvec,
+            )
+            if len(inliers) >= self.cfg.min_num_inliers:
+                n_ok += 1
+        self.db.commit()
+        return n_ok
+
     def match_pair(self, id1: int, id2: int) -> int:
         """Match + verify + write. Returns inlier count."""
         kp1, d1, v1 = self._feats(id1)
@@ -263,14 +381,14 @@ def run_exhaustive_matcher(
     db = Database(database_path)
     w = _MatchWorker(db, config)
     ids = sorted(db.images().keys())
-    n = 0
+    pair_list = []
     for bi in range(0, len(ids), block_size):
         for bj in range(bi, len(ids), block_size):
             for i in ids[bi : bi + block_size]:
                 for j in ids[bj : bj + block_size]:
-                    if j <= i:
-                        continue
-                    n += 1 if w.match_pair(i, j) else 0
+                    if j > i:
+                        pair_list.append((i, j))
+    n = w.match_pairs(pair_list)
     db.close()
     return n
 
@@ -289,26 +407,29 @@ def run_sequential_matcher(
     db = Database(database_path)
     w = _MatchWorker(db, config)
     ids = sorted(db.images().keys())  # name-ordered assumed == id order
-    n = 0
+    pair_list = []
     for a, i in enumerate(ids):
         for d in range(1, overlap + 1):
             offsets = [d, (1 << d)] if quadratic_overlap else [d]
             for off in offsets:
                 b = a + off
-                if b < len(ids):
-                    n += 1 if w.match_pair(i, ids[b]) else 0
+                if b < len(ids) and (i, ids[b]) not in pair_list:
+                    pair_list.append((i, ids[b]))
+    n = w.match_pairs(pair_list)
     if loop_detection:
         from ..ops import retrieval
 
         index = retrieval.build_index(
             {i: np.asarray(db.read_descriptors(i), np.float32) for i in ids}
         )
+        loop_pairs = []
         for a in range(0, len(ids), loop_detection_period):
             i = ids[a]
             cand = retrieval.query(index, i, loop_detection_num_images)
             for j in cand:
-                if j != i:
-                    n += 1 if w.match_pair(min(i, j), max(i, j)) else 0
+                if j != i and (min(i, j), max(i, j)) not in loop_pairs:
+                    loop_pairs.append((min(i, j), max(i, j)))
+        n += w.match_pairs(loop_pairs)
     db.close()
     return n
 
@@ -326,7 +447,7 @@ def run_spatial_matcher(
     w = _MatchWorker(db, config)
     ids = [i for i in sorted(db.images().keys()) if i in locations]
     locs = np.stack([locations[i] for i in ids])
-    n = 0
+    pair_list = []
     for a, i in enumerate(ids):
         d = np.linalg.norm(locs - locs[a], axis=1)
         order = np.argsort(d)
@@ -338,8 +459,9 @@ def run_spatial_matcher(
             if cnt >= max_num_neighbors:
                 break
             cnt += 1
-            if j > i:
-                n += 1 if w.match_pair(i, j) else 0
+            if j > i and (i, j) not in pair_list:
+                pair_list.append((i, j))
+    n = w.match_pairs(pair_list)
     db.close()
     return n
 

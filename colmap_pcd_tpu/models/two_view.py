@@ -193,10 +193,12 @@ def estimate_two_view_geometry(
     ro = ransac_ops.RansacOptions(max_error=opts.max_error, num_hypotheses=opts.num_hypotheses)
     # one fused device program for all three geometries: under the axon
     # tunnel every dispatch costs ~10-25 ms and each int() forces a sync —
-    # three separate RANSAC calls triple that per image pair
+    # three separate RANSAC calls triple that per image pair. The E bank's
+    # normalized-unit threshold rides along as a traced scalar so one
+    # compiled program serves every focal length.
     resE, resF, resH = _ransac_efh(
-        n1, n2, uv1j, uv2j, valid, jnp.asarray(seed, jnp.uint32),
-        ro, opts.max_error / f_mean, qual,
+        n1, n2, uv1j, uv2j, valid, jnp.asarray(seed, jnp.uint32), ro,
+        jnp.asarray(opts.max_error / f_mean, jnp.float32), qual,
     )
     nE, nF, nH = int(resE.num_inliers), int(resF.num_inliers), int(resH.num_inliers)
 
@@ -250,14 +252,181 @@ def estimate_two_view_geometry(
 
 @functools.partial(jax.jit, static_argnames=("ro",))
 def _ransac_efh(n1, n2, uv1, uv2, valid, seed, ro, e_max_error, qual):
-    """E + F + H RANSAC banks as ONE compiled program (single dispatch)."""
+    """E + F + H RANSAC banks as ONE compiled program (single dispatch).
+    e_max_error is the E bank's normalized-unit threshold (traced scalar —
+    max_error / mean focal, per pair)."""
     key = jax.random.PRNGKey(seed)
     k1, k2, k3 = jax.random.split(key, 3)
-    ro_norm = ro._replace(max_error=e_max_error)
-    resE = ransac_ops.ransac_essential(n1, n2, valid, k1, ro_norm, qual)
+    resE = ransac_ops.ransac_essential(n1, n2, valid, k1, ro, qual, e_max_error)
     resF = ransac_ops.ransac_fundamental(uv1, uv2, valid, k2, ro, qual)
     resH = ransac_ops.ransac_homography(uv1, uv2, valid, k3, ro, qual)
     return resE, resF, resH
+
+
+@functools.partial(jax.jit, static_argnames=("ro",))
+def _ransac_efh_batch(n1, n2, uv1, uv2, valid, seeds, ro, e_max_errors, quals):
+    """vmapped fused E/F/H over a batch of pairs (leading axis B): verifying
+    an image-pair block is ONE device dispatch instead of B. e_max_errors
+    [B] carries each pair's focal-scaled E threshold as traced data."""
+    def one(n1, n2, uv1, uv2, valid, seed, e_err, qual):
+        key = jax.random.PRNGKey(seed)
+        k1, k2, k3 = jax.random.split(key, 3)
+        resE = ransac_ops.ransac_essential(n1, n2, valid, k1, ro, qual, e_err)
+        resF = ransac_ops.ransac_fundamental(uv1, uv2, valid, k2, ro, qual)
+        resH = ransac_ops.ransac_homography(uv1, uv2, valid, k3, ro, qual)
+        return resE, resF, resH
+
+    return jax.vmap(one)(n1, n2, uv1, uv2, valid, seeds, e_max_errors, quals)
+
+
+@jax.jit
+def _pose_recovery_batch(E, n1, n2, mask):
+    """vmapped _pose_recovery over a pair batch."""
+    return jax.vmap(_pose_recovery)(E, n1, n2, mask)
+
+
+def estimate_two_view_geometry_batch(
+    items: list[dict],
+    opts: TwoViewOptions = TwoViewOptions(),
+) -> list[TwoViewGeometry]:
+    """Batched estimate_two_view_geometry: one fused-EFH dispatch + one pose
+    recovery dispatch for a whole image-pair block.
+
+    Each item: dict(uv1 [N,2], uv2 [N,2], params1, params2, model_id1,
+    model_id2, seed, size1, size2, quality) — N may differ per item; all pad
+    to the largest item's power-of-four cap. Degenerate/multiple-model
+    options fall back to the scalar path per item.
+    """
+    from ..ops import np_geom
+
+    out = [TwoViewGeometry() for _ in items]
+    idxs = [
+        k for k, it in enumerate(items)
+        if it["uv1"].shape[0] >= 8 and not opts.multiple_models
+    ]
+    for k, it in enumerate(items):
+        if it["uv1"].shape[0] >= 8 and opts.multiple_models:
+            out[k] = estimate_two_view_geometry(
+                it["uv1"], it["uv2"], it["params1"], it["params2"],
+                it["model_id1"], it["model_id2"], opts, seed=it.get("seed", 0),
+                size1=it.get("size1"), size2=it.get("size2"),
+                quality=it.get("quality"),
+            )
+    if not idxs:
+        return out
+
+    import math as _math
+
+    Nmax = max(items[k]["uv1"].shape[0] for k in idxs)
+    cap = 128 * 4 ** max(0, _math.ceil(_math.log(max(Nmax, 1) / 128, 4)))
+    B = len(idxs)
+    uv1 = np.zeros((B, cap, 2), np.float32)
+    uv2 = np.zeros((B, cap, 2), np.float32)
+    n1 = np.zeros((B, cap, 2), np.float32)
+    n2 = np.zeros((B, cap, 2), np.float32)
+    valid = np.zeros((B, cap), np.float32)
+    quals = np.full((B, cap), -np.inf, np.float32)
+    seeds = np.zeros(B, np.uint32)
+    e_errs = np.zeros(B, np.float32)
+    ns = []
+    for b, k in enumerate(idxs):
+        it = items[k]
+        N = it["uv1"].shape[0]
+        ns.append(N)
+        uv1[b, :N] = it["uv1"]
+        uv2[b, :N] = it["uv2"]
+        n1[b, :N] = np_geom.image_to_world(it["model_id1"], it["params1"], it["uv1"])
+        n2[b, :N] = np_geom.image_to_world(it["model_id2"], it["params2"], it["uv2"])
+        valid[b, :N] = 1.0
+        q = it.get("quality")
+        if q is not None:
+            quals[b, :N] = q
+        seeds[b] = it.get("seed", 0) & 0xFFFFFFFF
+        p1 = np.asarray(it["params1"])
+        p2 = np.asarray(it["params2"])
+        fi1 = cm._FOCAL_IDX[it["model_id1"]]
+        fi2 = cm._FOCAL_IDX[it["model_id2"]]
+        e_errs[b] = opts.max_error / float(
+            np.mean([p1[fi1[0]], p1[fi1[1]], p2[fi2[0]], p2[fi2[1]]])
+        )
+
+    ro = ransac_ops.RansacOptions(
+        max_error=opts.max_error, num_hypotheses=opts.num_hypotheses
+    )
+    resE, resF, resH = _ransac_efh_batch(
+        jnp.asarray(n1), jnp.asarray(n2), jnp.asarray(uv1), jnp.asarray(uv2),
+        jnp.asarray(valid), jnp.asarray(seeds), ro, jnp.asarray(e_errs),
+        jnp.asarray(quals),
+    )
+    nE = np.asarray(resE.num_inliers)
+    nF = np.asarray(resF.num_inliers)
+    nH = np.asarray(resH.num_inliers)
+    E_all = np.asarray(resE.model)
+    F_all = np.asarray(resF.model)
+    H_all = np.asarray(resH.model)
+    maskE = np.asarray(resE.inlier_mask)
+    maskF = np.asarray(resF.inlier_mask)
+
+    # host-side classification per pair (cheap numpy), then one batched pose
+    # recovery for the calibrated survivors
+    pose_rows = []
+    pose_masks = np.zeros((B, cap), np.float32)
+    for b, k in enumerate(idxs):
+        g = out[k]
+        N = ns[b]
+        g.E, g.F, g.H = E_all[b], F_all[b], H_all[b]
+        if max(int(nE[b]), int(nF[b])) < opts.min_num_inliers:
+            g.config = DEGENERATE
+            continue
+        if nE[b] >= opts.min_E_F_inlier_ratio * nF[b] and nE[b] >= opts.min_num_inliers:
+            config = CALIBRATED
+            best_mask = maskE[b, :N]
+            n_best = int(nE[b])
+        else:
+            config = UNCALIBRATED
+            best_mask = maskF[b, :N]
+            n_best = int(nF[b])
+        if nH[b] > opts.max_H_inlier_ratio * n_best:
+            config = PLANAR_OR_PANORAMIC
+        rows = np.nonzero(best_mask)[0]
+        g.inlier_matches = np.stack([rows, rows], axis=-1).astype(np.int32)
+        g.config = config
+        it = items[k]
+        if (
+            opts.detect_watermark
+            and it.get("size1") is not None
+            and it.get("size2") is not None
+            and detect_watermark(
+                np.asarray(it["uv1"]), np.asarray(it["uv2"]), best_mask,
+                it["size1"], it["size2"], opts,
+            )
+        ):
+            g.config = WATERMARK
+            continue
+        if opts.compute_relative_pose and config == CALIBRATED:
+            pose_masks[b, :N] = best_mask
+            pose_rows.append((b, k, N, best_mask))
+
+    if pose_rows:
+        sel = np.asarray([b for b, *_ in pose_rows])
+        q_all, t_all, ang_all, z1_all, z2_all = _pose_recovery_batch(
+            jnp.asarray(E_all[sel], jnp.float32),
+            jnp.asarray(n1[sel]), jnp.asarray(n2[sel]),
+            jnp.asarray(pose_masks[sel]),
+        )
+        q_all = np.asarray(q_all)
+        t_all = np.asarray(t_all)
+        ang_all = np.asarray(ang_all)
+        z1_all = np.asarray(z1_all)
+        z2_all = np.asarray(z2_all)
+        for r, (b, k, N, best_mask) in enumerate(pose_rows):
+            g = out[k]
+            g.qvec = q_all[r]
+            g.tvec = t_all[r]
+            ok = best_mask & (z1_all[r, :N] > 0) & (z2_all[r, :N] > 0)
+            if ok.sum() > 0:
+                g.tri_angle = float(np.median(ang_all[r, :N][ok]))
+    return out
 
 
 @jax.jit

@@ -148,7 +148,8 @@ class TwoViewResult(NamedTuple):
     num_inliers: Array
 
 
-def _ransac_two_view(uv1, uv2, valid, key, opts, solver, resid, sample_k, quality=None):
+def _ransac_two_view(uv1, uv2, valid, key, opts, solver, resid, sample_k,
+                     quality=None, max_error=None):
     H = opts.num_hypotheses
     idx = _draw_samples(key, valid, H, sample_k, quality)
 
@@ -157,7 +158,9 @@ def _ransac_two_view(uv1, uv2, valid, key, opts, solver, resid, sample_k, qualit
 
     models = jax.vmap(solve_one)(idx)  # [H,3,3]
     errs = jax.vmap(lambda M: resid(M, uv1, uv2))(models)
-    thr2 = opts.max_error**2
+    # max_error may be a traced scalar (per-pair focal-scaled thresholds in
+    # batched verification); opts.max_error is the static default
+    thr2 = (opts.max_error if max_error is None else max_error) ** 2
     n_in, score = _score(errs, valid, thr2)
     best = jnp.argmax(score)
     M_b = models[best]
@@ -191,12 +194,14 @@ def ransac_fundamental(uv1, uv2, valid, key, opts: RansacOptions = RansacOptions
 
 
 @functools.partial(jax.jit, static_argnames=("opts",))
-def ransac_essential(uv1, uv2, valid, key, opts: RansacOptions = RansacOptions(), quality=None):
-    """E from normalized camera coords; max_error in normalized units."""
+def ransac_essential(uv1, uv2, valid, key, opts: RansacOptions = RansacOptions(),
+                     quality=None, max_error=None):
+    """E from normalized camera coords; max_error in normalized units
+    (opts.max_error, or the traced `max_error` scalar when given)."""
     return _ransac_two_view(
         uv1, uv2, valid, key, opts,
         lambda a, b, m: solvers.eight_point(a, b, m, essential=True),
-        solvers.sampson_error, 8, quality,
+        solvers.sampson_error, 8, quality, max_error,
     )
 
 
