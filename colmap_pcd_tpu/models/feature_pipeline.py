@@ -208,10 +208,24 @@ class _MatchWorker:
             return sum(1 if self.match_pair(i, j) else 0 for i, j in pair_list)
         n_ok = 0
         for c0 in range(0, len(pair_list), chunk):
-            n_ok += self._match_pairs_chunk(pair_list[c0 : c0 + chunk])
+            block = list(pair_list[c0 : c0 + chunk])
+            # pad the final partial chunk with repeats so the batch shape B is
+            # constant (each distinct B is another compiled program); the
+            # worker skips duplicates
+            while 0 < len(block) < chunk:
+                block.append(block[-1])
+            n_ok += self._match_pairs_chunk(block)
         return n_ok
 
     def _match_pairs_chunk(self, pairs) -> int:
+        seen = set()
+        uniq = []
+        for p in pairs:
+            if p not in seen:
+                seen.add(p)
+                uniq.append((p, False))
+            else:
+                uniq.append((p, True))  # duplicate padding: compute, skip IO
         feats = [(self._feats(i), self._feats(j)) for i, j in pairs]
         B = len(pairs)
         cap = max(
@@ -254,6 +268,8 @@ class _MatchWorker:
 
         items, meta = [], []
         for b, (id1, id2) in enumerate(pairs):
+            if uniq[b][1]:  # duplicate padding row
+                continue
             rows = np.nonzero(ok_b[b])[0]
             mpairs = np.stack([rows, idx_b[b][rows]], axis=-1).astype(np.int32)
             if len(mpairs) < self.cfg.min_num_inliers:
@@ -282,13 +298,18 @@ class _MatchWorker:
             meta.append((id1, id2, mpairs))
         if not items:
             return 0
+        # pad the survivor batch to the chunk size as well — the vmapped EFH
+        # program's B must stay constant across chunks
+        n_real = len(items)
+        while len(items) < len(pairs):
+            items.append(items[-1])
         geoms = two_view_mod.estimate_two_view_geometry_batch(
             items,
             two_view_mod.TwoViewOptions(
                 max_error=self.cfg.max_error,
                 min_num_inliers=self.cfg.min_num_inliers,
             ),
-        )
+        )[:n_real]
         n_ok = 0
         for (id1, id2, mpairs), g in zip(meta, geoms):
             rows = g.inlier_matches[:, 0] if len(g.inlier_matches) else np.zeros(0, np.int64)
