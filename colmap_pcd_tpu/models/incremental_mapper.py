@@ -1122,8 +1122,9 @@ class IncrementalMapper:
         C = _bucket4(len(img_ids), 16)
         P = _bucket4(uniq_pids.size, 2048)
         N = _bucket(n_obs, 8192)
-        t_max = int(np.bincount(obs_pt_slots).max())
-        T = 16 if t_max <= 16 else (64 if t_max <= 64 else _bucket(t_max))
+        # T keeps 2x steps: the Schur pair term scales with T^2 per point, so
+        # a coarser ladder would triple real solve cost, not just padding
+        T = _bucket(int(np.bincount(obs_pt_slots).max()), 16)
 
         cam_q = np.zeros((C, 4), np.float32)
         cam_q[:, 0] = 1.0
@@ -1183,15 +1184,32 @@ class IncrementalMapper:
         obs_uv[:n_obs] = obs_uv_all
         obs_valid[:n_obs] = 1.0
 
+        # compact the reduced camera system to the VARIABLE cameras: fixed
+        # poses contribute nothing (their jacobians are zeroed) and map to
+        # block 0, so the Schur system scales with the in-sphere/bundle
+        # variable count — not the total registered-camera count (the point
+        # of spherical windowing, sfm/incremental_mapper.cc:1349-1388)
+        cam_blk = np.zeros(C, np.int32)
+        n_var = 0
+        for k in range(len(img_ids)):
+            if pose_fixed[k] == 0.0:
+                cam_blk[k] = n_var
+                n_var += 1
+        num_pose_blocks = int(_bucket4(max(n_var, 1), 16))
+        if num_pose_blocks >= C:
+            num_pose_blocks = 0  # no compaction win; keep identity layout
+            cam_blk = np.arange(C, dtype=np.int32)
+
         prob = ba_ops.make_problem(
             cam_q, cam_t, intr, points,
             obs_cam, obs_pt, obs_uv,
-            cam_k=cam_k, cam_model=cam_model,
+            cam_k=cam_k, cam_model=cam_model, cam_blk=cam_blk,
             obs_valid=obs_valid, track_len=T,
             lidar_plane=lidar_plane, lidar_w=lidar_w,
             pose_fixed=pose_fixed, tvec_fixed=tvf, point_fixed=point_fixed,
         )
         cfg = ba_ops.BAConfig(
+            num_pose_blocks=num_pose_blocks,
             model_id=model_ids[0],
             model_ids=model_ids,
             loss_type=opts.loss_type,

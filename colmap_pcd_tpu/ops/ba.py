@@ -42,6 +42,14 @@ from . import se3
 
 Array = jax.Array
 
+# Schur assembly/reduction einsums run at HIGH (3-pass bf16, ~1e-5 relative)
+# rather than the package-wide HIGHEST: the GN system is a step direction,
+# not the objective — residuals and costs stay exact, LM's accept test
+# guards against a degraded step — and these contractions are most of the
+# solve's FLOPs.
+_HI = jax.lax.Precision.HIGH
+
+
 LOSS_TRIVIAL = 0
 LOSS_SOFT_L1 = 1
 LOSS_CAUCHY = 2
@@ -70,6 +78,17 @@ class BAConfig(NamedTuple):
     min_lambda: float = 1e-10
     max_lambda: float = 1e8
     track_len: int = 16  # T: max observations per point in the problem
+    # Ceres function_tolerance semantics: terminate on the FIRST accepted
+    # step whose relative cost change is below this (f32 can't resolve much
+    # below 1e-6 anyway); rejected steps get max_consecutive_rejects tries
+    function_tolerance: float = 1e-6
+    max_consecutive_rejects: int = 4
+    # number of pose 6-blocks in the reduced camera system (0 -> one per
+    # camera slot). Spherical/global problems map all FIXED cameras to block
+    # 0 (their jacobians are zeroed, so they contribute nothing) and compact
+    # the variable cameras into the first blocks: the Schur system then
+    # scales with the VARIABLE count, not the scene's total camera count.
+    num_pose_blocks: int = 0
 
 
 class BAProblem(NamedTuple):
@@ -92,6 +111,7 @@ class BAProblem(NamedTuple):
     pt_obs: Array  # [P,T] int32 indices into obs arrays, -1 padded
     lidar_plane: Array  # [P,4] (a,b,c,d), |n|=1, plane through associated lidar pt
     lidar_w: Array  # [P] f32 constraint weight, 0 = none
+    cam_blk: Array  # [C] int32 — pose block slot per camera (fixed -> 0 ok)
     pose_fixed: Array  # [C] f32 {0,1} — 1 freezes the full pose
     tvec_fixed: Array  # [C,3] f32 {0,1} — per-component translation freeze
     point_fixed: Array  # [P] f32 {0,1}
@@ -330,15 +350,16 @@ def _gn_system(problem: BAProblem, cfg: BAConfig, cam_q, cam_t, intr, points, la
     K = problem.intr.shape[0]
     P = problem.points.shape[0]
     T = problem.pt_obs.shape[1]
-    nb = C + (2 * K if cfg.refine_intrinsics else 0)  # number of 6-blocks
+    nbp = cfg.num_pose_blocks if cfg.num_pose_blocks > 0 else C
+    nb = nbp + (2 * K if cfg.refine_intrinsics else 0)  # number of 6-blocks
     D = 6 * nb
 
     r, Jc, Jp, Jk = _obs_jacobians(problem, cfg, cam_q, cam_t, intr, points)
     N = r.shape[0]
 
     # ---- point blocks: H_pp and b_p, including lidar terms -----------------
-    JpTJp = jnp.einsum("nri,nrj->nij", Jp, Jp)  # [N,3,3]
-    JpTr = jnp.einsum("nri,nr->ni", Jp, r)  # [N,3]
+    JpTJp = jnp.einsum("nri,nrj->nij", Jp, Jp, precision=_HI)  # [N,3,3]
+    JpTr = jnp.einsum("nri,nr->ni", Jp, r, precision=_HI)  # [N,3]
     Hpp = jnp.zeros((P, 3, 3), jnp.float32).at[problem.obs_pt].add(JpTJp)
     b_p = jnp.zeros((P, 3), jnp.float32).at[problem.obs_pt].add(-JpTr)
 
@@ -350,7 +371,7 @@ def _gn_system(problem: BAProblem, cfg: BAConfig, cam_q, cam_t, intr, points, la
     else:
         wl = jnp.ones_like(rl)
     Jl = (wl * problem.lidar_w)[:, None] * nvec * (1.0 - problem.point_fixed)[:, None]  # [P,3]
-    Hpp = Hpp + jnp.einsum("pi,pj->pij", Jl, Jl)
+    Hpp = Hpp + jnp.einsum("pi,pj->pij", Jl, Jl, precision=_HI)
     b_p = b_p - Jl * (wl * rl)[:, None]
 
     # LM damping on point blocks + unit diagonal for empty/fixed points
@@ -362,11 +383,11 @@ def _gn_system(problem: BAProblem, cfg: BAConfig, cam_q, cam_t, intr, points, la
 
     # ---- camera-side blocks ------------------------------------------------
     # per-obs camera-side jacobian entries: pose block (6) and 2 intr blocks.
-    obs_pose_blk = problem.obs_cam  # block id of pose
+    obs_pose_blk = problem.cam_blk[problem.obs_cam]  # block id of pose
     if cfg.refine_intrinsics:
         kid = problem.cam_k[problem.obs_cam]
-        obs_intr_blk0 = C + 2 * kid
-        obs_intr_blk1 = C + 2 * kid + 1
+        obs_intr_blk0 = nbp + 2 * kid
+        obs_intr_blk1 = nbp + 2 * kid + 1
         Jk0 = Jk[:, :, :6]
         Jk1 = Jk[:, :, 6:]
         # stacked camera-side entries [3N]: (obs, blockrole)
@@ -403,7 +424,7 @@ def _gn_system(problem: BAProblem, cfg: BAConfig, cam_q, cam_t, intr, points, la
         if use_onehot:
             flat = rows_blk * nb + cols_blk  # [M]
             onehot = jax.nn.one_hot(flat, nb * nb, dtype=vals.dtype)  # [M, nb^2]
-            acc = jnp.einsum("mk,mij->kij", onehot, vals)  # [nb^2,6,6]
+            acc = jnp.einsum("mk,mij->kij", onehot, vals, precision=_HI)  # [nb^2,6,6]
             acc = acc.reshape(nb, nb, 6, 6).transpose(0, 2, 1, 3).reshape(D, D)
             return S + acc
         ridx = rows_blk[:, None, None] * 6 + i6[None, :, None]
@@ -414,14 +435,14 @@ def _gn_system(problem: BAProblem, cfg: BAConfig, cam_q, cam_t, intr, points, la
         """Accumulate [M,6] row vectors at 6-block ids."""
         if use_onehot:
             onehot = jax.nn.one_hot(blk_ids, nb, dtype=vals6.dtype)  # [M, nb]
-            return b + jnp.einsum("mk,mi->ki", onehot, vals6).reshape(D)
+            return b + jnp.einsum("mk,mi->ki", onehot, vals6, precision=_HI).reshape(D)
         return b.at[blk_ids[:, None] * 6 + i6[None, :]].add(vals6)
 
     # camera-side JtJ: for each obs, roles x roles block outer products.
     if cfg.refine_intrinsics:
         Jroles = jnp.stack([Jc, Jk0, Jk1], axis=1)  # [N,3,2,6]
         blks = jnp.stack([obs_pose_blk, obs_intr_blk0, obs_intr_blk1], axis=1)  # [N,3]
-        JtJ = jnp.einsum("nari,nbrj->nabij", Jroles, Jroles)  # [N,3,3,6,6]
+        JtJ = jnp.einsum("nari,nbrj->nabij", Jroles, Jroles, precision=_HI)  # [N,3,3,6,6]
         M = N * roles * roles
         S = scatter_block(
             S,
@@ -430,14 +451,14 @@ def _gn_system(problem: BAProblem, cfg: BAConfig, cam_q, cam_t, intr, points, la
             JtJ.reshape(M, 6, 6),
         )
     else:
-        JtJ = jnp.einsum("nri,nrj->nij", Jc, Jc)
+        JtJ = jnp.einsum("nri,nrj->nij", Jc, Jc, precision=_HI)
         S = scatter_block(S, blk, blk, JtJ)
 
-    Jtr = jnp.einsum("mri,mr->mi", Jcam, r3)  # [3N or N, 6]
+    Jtr = jnp.einsum("mri,mr->mi", Jcam, r3, precision=_HI)  # [3N or N, 6]
     b = scatter_rhs(b, blk, -Jtr)
 
     # coupling W per camera-side entry: W_m = Jcam_m^T Jp_m  [6,3]
-    W = jnp.einsum("mri,mrj->mij", Jcam, Jp3)  # [M_ent,6,3]
+    W = jnp.einsum("mri,mrj->mij", Jcam, Jp3, precision=_HI)  # [M_ent,6,3]
 
     # ---- Schur reduction, chunked over points ------------------------------
     # pt_obs indexes into obs arrays [N]; for each role we know the entry
@@ -476,15 +497,15 @@ def _gn_system(problem: BAProblem, cfg: BAConfig, cam_q, cam_t, intr, points, la
         blkg = blk[ent]  # [c,Tn]
 
         # Y_a = W_a Hinv  [c,Tn,6,3]; pair products Y_a W_b^T [c,Tn,Tn,6,6]
-        Y = jnp.einsum("ctij,cjk->ctik", Wg, Hinv)
-        pair = jnp.einsum("ctik,cukl->ctuil", Y, jnp.swapaxes(Wg, -1, -2))
+        Y = jnp.einsum("ctij,cjk->ctik", Wg, Hinv, precision=_HI)
+        pair = jnp.einsum("ctik,cukl->ctuil", Y, jnp.swapaxes(Wg, -1, -2), precision=_HI)
         M = csize * Tn * Tn
         rows = jnp.repeat(blkg, Tn, axis=1).reshape(M)
         cols = jnp.tile(blkg, (1, Tn)).reshape(M)
         S = scatter_block(S, rows, cols, -pair.reshape(M, 6, 6))
 
         # rhs reduction: b -= Y_a b_p
-        yb = jnp.einsum("ctik,ck->cti", Y, bp).reshape(csize * Tn, 6)
+        yb = jnp.einsum("ctik,ck->cti", Y, bp, precision=_HI).reshape(csize * Tn, 6)
         b = scatter_rhs(b, blkg.reshape(-1), -yb)
         return (S, b), None
 
@@ -536,13 +557,15 @@ def _gn_system(problem: BAProblem, cfg: BAConfig, cam_q, cam_t, intr, points, la
 
 def _apply_step(cfg, problem, cam_q, cam_t, intr, points, dx_cam, dx_p):
     C = problem.cam_q.shape[0]
-    pose_dx = dx_cam[:C]
+    nbp = cfg.num_pose_blocks if cfg.num_pose_blocks > 0 else C
+    # gather each camera's block; fixed cameras share block 0, so mask
+    pose_dx = dx_cam[problem.cam_blk] * (1.0 - problem.pose_fixed)[:, None]
     q2 = se3.quat_normalize(se3.quat_mul(se3.so3_exp_quat(pose_dx[:, :3]), cam_q))
     t2 = cam_t + pose_dx[:, 3:]
     points2 = points + dx_p
     if cfg.refine_intrinsics:
         K = problem.intr.shape[0]
-        dintr = dx_cam[C : C + 2 * K].reshape(K, 12)
+        dintr = dx_cam[nbp : nbp + 2 * K].reshape(K, 12)
         intr2 = intr + dintr * _intr_refine_mask(cfg)[problem.cam_model]
     else:
         intr2 = intr
@@ -582,12 +605,18 @@ def solve_inner(problem: BAProblem, cfg: BAConfig, psum_axis: str | None = None)
             jnp.where(accept, lam * 0.33, lam * 8.0), cfg.min_lambda, cfg.max_lambda
         )
         rel = jnp.abs(cost - cost_next) / jnp.maximum(cost, 1e-12)
-        stall = jnp.where(accept & (rel < 1e-6), stall + 1, jnp.where(accept, 0, stall + 1))
+        # accepted tiny step -> converged (Ceres function_tolerance);
+        # rejected step -> one more lambda try, bounded
+        stall = jnp.where(
+            accept,
+            jnp.where(rel < cfg.function_tolerance, cfg.max_consecutive_rejects, 0),
+            stall + 1,
+        )
         return q, t, k, X, lam, cost_next, it + 1, stall
 
     def cond(state):
         *_, it, stall = state
-        return (it < cfg.max_iterations) & (stall < 4)
+        return (it < cfg.max_iterations) & (stall < cfg.max_consecutive_rejects)
 
     lam0 = jnp.asarray(cfg.initial_lambda, jnp.float32)
     state = (
@@ -619,6 +648,7 @@ def make_problem(
     *,
     cam_k=None,
     cam_model=None,
+    cam_blk=None,
     obs_valid=None,
     track_len: int = 16,
     lidar_plane=None,
@@ -675,6 +705,9 @@ def make_problem(
         return np.full(shape, val, np.float32) if x is None else np.asarray(x, np.float32)
 
     return BAProblem(
+        cam_blk=jnp.asarray(
+            np.arange(C, dtype=np.int32) if cam_blk is None else np.asarray(cam_blk, np.int32)
+        ),
         cam_q=jnp.asarray(cam_q),
         cam_t=jnp.asarray(cam_t, dtype=jnp.float32),
         cam_k=jnp.asarray(

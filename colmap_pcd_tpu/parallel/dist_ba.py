@@ -86,6 +86,7 @@ def shard_problem(problem: ba_ops.BAProblem, n_shards: int) -> ba_ops.BAProblem:
 
     rep = lambda x: jnp.asarray(x)
     return ba_ops.BAProblem(
+        cam_blk=rep(problem.cam_blk),
         cam_q=rep(problem.cam_q),
         cam_t=rep(problem.cam_t),
         cam_k=rep(problem.cam_k),
@@ -119,7 +120,7 @@ def solve_distributed(
     sp = shard_problem(problem, n)
 
     specs = ba_ops.BAProblem(
-        cam_q=P(), cam_t=P(), cam_k=P(), intr=P(), cam_model=P(),
+        cam_blk=P(), cam_q=P(), cam_t=P(), cam_k=P(), intr=P(), cam_model=P(),
         points=P(axis),
         obs_cam=P(axis), obs_pt=P(axis), obs_uv=P(axis), obs_valid=P(axis),
         pt_obs=P(axis), lidar_plane=P(axis), lidar_w=P(axis),
