@@ -515,8 +515,7 @@ def run_transitive_matcher(
                         have.add((a, c))
         if not todo:
             break
-        for a, c in todo[:batch_size]:
-            n += 1 if w.match_pair(a, c) else 0
+        n += w.match_pairs(todo[:batch_size])
     db.close()
     return n
 
@@ -530,12 +529,13 @@ def run_image_pairs_matcher(
     db = Database(database_path)
     w = _MatchWorker(db, config)
     by_name = {v["name"]: k for k, v in db.images().items()}
-    n = 0
+    pair_list = []
     for n1, n2 in pairs:
         if n1 in by_name and n2 in by_name:
             i, j = by_name[n1], by_name[n2]
-            if i != j:
-                n += 1 if w.match_pair(min(i, j), max(i, j)) else 0
+            if i != j and (min(i, j), max(i, j)) not in pair_list:
+                pair_list.append((min(i, j), max(i, j)))
+    n = w.match_pairs(pair_list)
     db.close()
     return n
 
@@ -607,10 +607,11 @@ def run_vocab_tree_matcher(
     index = retrieval.build_index(
         {i: np.asarray(db.read_descriptors(i), np.float32) for i in ids}
     )
-    n = 0
+    pair_list = []
     for i in ids:
         for j in retrieval.query(index, i, num_images):
-            if j > i:
-                n += 1 if w.match_pair(i, j) else 0
+            if j > i and (i, j) not in pair_list:
+                pair_list.append((i, j))
+    n = w.match_pairs(pair_list)
     db.close()
     return n
