@@ -145,3 +145,29 @@ def test_prosac_ordered_sampling():
     assert (idx[0] >= 34).all()
     # late hypotheses reach the full valid range
     assert idx[-32:].min() < 20
+
+
+def test_two_view_batch_matches_scalar(rng):
+    """estimate_two_view_geometry_batch must agree with the scalar path:
+    same configs, same poses, same inlier sets (identical seeds/programs)."""
+    items = []
+    scalars = []
+    for k in range(4):
+        q2, t2, params, uv1, uv2 = _stereo_scene(rng, noise=0.3)
+        g = two_view.estimate_two_view_geometry(
+            uv1, uv2, params, params, 1, 1, seed=k,
+            size1=(640, 480), size2=(640, 480),
+        )
+        scalars.append(g)
+        items.append(dict(
+            uv1=uv1, uv2=uv2, params1=params, params2=params,
+            model_id1=1, model_id2=1, seed=k,
+            size1=(640, 480), size2=(640, 480),
+        ))
+    batch = two_view.estimate_two_view_geometry_batch(items)
+    for g_s, g_b in zip(scalars, batch):
+        assert g_b.config == g_s.config
+        np.testing.assert_array_equal(g_b.inlier_matches, g_s.inlier_matches)
+        if g_s.qvec is not None:
+            # acos near 1.0 has ~1e-3 f32 noise even for identical quaternions
+            assert float(se3.angle_between(jnp.asarray(g_b.qvec), jnp.asarray(g_s.qvec))) < 5e-3
