@@ -301,35 +301,40 @@ class Reconstruction:
             return 0
         from ..ops import np_geom
 
-        obs = []
-        for pid in ids:
-            for image_id, p2d_idx in self.points3D[pid].track:
-                obs.append((pid, image_id, p2d_idx))
-        if not obs:
-            return 0
+        # reprojection/depth filter, iterated per IMAGE: each image's
+        # observations project in one vectorized call with one shared camera
+        # (no per-observation Python stacks — this runs every refinement
+        # round over the whole scene)
         n_del = 0
-        xyz = np.stack([self.points3D[pid].xyz for pid, _, _ in obs])
-        qv = np.stack([self.images[i].qvec for _, i, _ in obs])
-        tv = np.stack([self.images[i].tvec for _, i, _ in obs])
-        uv = np.stack([self.images[i].xys[j] for _, i, j in obs])
-        models = np.asarray(
-            [self.cameras[self.images[i].camera_id].model_id for _, i, _ in obs]
-        )
-        par = np.stack(
-            [self.cameras[self.images[i].camera_id].padded_params() for _, i, _ in obs]
-        )
-        # project per camera model (np_geom.project takes a static model id)
-        err = np.zeros(len(obs))
-        zs = np.zeros(len(obs))
-        for mid in np.unique(models):
-            sel = np.nonzero(models == mid)[0]
-            xy_m, z_m = np_geom.project(int(mid), par[sel], qv[sel], tv[sel], xyz[sel])
-            err[sel] = np.linalg.norm(xy_m - uv[sel], axis=-1)
-            zs[sel] = z_m
-        bad = (err > max_reproj_error) | (zs <= 0)
-        for (pid, image_id, p2d_idx), b in zip(obs, bad):
-            if b and pid in self.points3D and (image_id, p2d_idx) in self.points3D[pid].track:
-                self.delete_observation(image_id, p2d_idx)
+        ids_sorted = np.asarray(sorted(ids), np.int64)
+        xyz_table = np.stack([self.points3D[int(p)].xyz for p in ids_sorted])
+        images_touched = {i for pid in ids for i, _ in self.points3D[pid].track}
+        for image_id in images_touched:
+            img = self.images[image_id]
+            fsel = np.nonzero(img.point3D_ids != INVALID_POINT3D)[0]
+            if fsel.size == 0:
+                continue
+            pids_f = img.point3D_ids[fsel]
+            pos = np.searchsorted(ids_sorted, pids_f)
+            inset = (pos < ids_sorted.size) & (
+                ids_sorted[np.minimum(pos, ids_sorted.size - 1)] == pids_f
+            )
+            fsel = fsel[inset]
+            if fsel.size == 0:
+                continue
+            slots = pos[inset]
+            cam = self.cameras[img.camera_id]
+            xy, z = np_geom.project(
+                cam.model_id,
+                cam.padded_params()[None, :],
+                np.asarray(img.qvec)[None, :],
+                np.asarray(img.tvec)[None, :],
+                xyz_table[slots],
+            )
+            err = np.linalg.norm(xy - img.xys[fsel], axis=-1)
+            bad = (err > max_reproj_error) | (z <= 0)
+            for fidx in fsel[bad]:
+                self.delete_observation(image_id, int(fidx))
                 n_del += 1
         # triangulation-angle filter — fully vectorized: [P, T, 3] masked
         # center table, pairwise max cos over each track in one einsum
