@@ -745,13 +745,18 @@ class IncrementalMapper:
             jax.random.PRNGKey(image_id),
             ransac_ops.RansacOptions(max_error=thr, num_hypotheses=opts.num_ransac_hypotheses),
         )
-        n_in = int(res.num_inliers)
+        # one batched device->host fetch (each float()/np.asarray is its own
+        # ~25 ms tunnel round trip)
+        n_in_a, q_a, t_a, mask_a = jax.device_get(
+            (res.num_inliers, res.q, res.t, res.inlier_mask)
+        )
+        n_in = int(n_in_a)
         if n_in < opts.abs_pose_min_num_inliers:
             return False
         if n_in < opts.abs_pose_min_inlier_ratio * len(tri_uv):
             return False
-        img.qvec = np.asarray(res.q, np.float64)
-        img.tvec = np.asarray(res.t, np.float64)
+        img.qvec = np.asarray(q_a, np.float64)
+        img.tvec = np.asarray(t_a, np.float64)
         # pose prior injection (:737-750): prior overrides PnP when available
         if image_id in self.pose_priors:
             img.qvec, img.tvec = (np.asarray(v, np.float64) for v in self.pose_priors[image_id])
@@ -759,7 +764,7 @@ class IncrementalMapper:
         self._register_image_event(image_id)
         self.last_registered_id = image_id
         # continue tracks for inliers
-        mask = np.asarray(res.inlier_mask)[: len(tri_uv)]
+        mask = mask_a[: len(tri_uv)]
         for k in np.nonzero(mask)[0]:
             fidx, pid = tri_feat[k], tri_pid[k]
             if img.point3D_ids[fidx] == INVALID_POINT3D and pid in self.rec.points3D:
@@ -1230,28 +1235,34 @@ class IncrementalMapper:
             out = dist_ba.solve_distributed(prob, cfg, mesh, axis)
         else:
             out = ba_ops.solve(prob, cfg)
+        # ONE batched device->host fetch: each separate np.asarray/float()
+        # is its own ~25 ms round trip through the axon tunnel
+        q_out, t_out, intr_out, p_out, init_c, fin_c, iters = jax.device_get(
+            (out.cam_q, out.cam_t, out.intr, out.points,
+             out.initial_cost, out.final_cost, out.iterations)
+        )
         from ..utils.flops import FLOPS, ba_solve_flops
 
         FLOPS.add(
-            ba_solve_flops(N, P, C, intr.shape[0], T, int(out.iterations)),
+            ba_solve_flops(N, P, C, intr.shape[0], T, int(iters)),
             "ba_solve",
         )
-        if not np.isfinite(float(out.final_cost)) or float(out.final_cost) > float(out.initial_cost):
+        if not np.isfinite(float(fin_c)) or float(fin_c) > float(init_c):
             return
-        q_out = np.asarray(out.cam_q, np.float64)
-        t_out = np.asarray(out.cam_t, np.float64)
+        q_out = np.asarray(q_out, np.float64)
+        t_out = np.asarray(t_out, np.float64)
         for iid, k in img_slot.items():
             if iid not in pose_fixed_ids:
                 rec.images[iid].qvec = q_out[k]
                 rec.images[iid].tvec = t_out[k]
         if refine_intrinsics:
             # per-camera write-back of each refined intrinsics slot
-            new_params = np.asarray(out.intr, np.float64)
+            new_params = np.asarray(intr_out, np.float64)
             for cid, k in cam_slot_of.items():
                 cam = rec.cameras[cid]
                 n = len(cam.params)
                 cam.params = new_params[k, :n].copy()
-        p_out = np.asarray(out.points, np.float64)
+        p_out = np.asarray(p_out, np.float64)
         free = np.nonzero(point_fixed[: uniq_pids.size] == 0.0)[0]
         for s in free:
             pid = int(uniq_pids[s])

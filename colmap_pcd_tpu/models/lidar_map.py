@@ -212,10 +212,13 @@ class LidarMap:
             model_id,
             self.opts,
         )
+        import jax
+
+        lpt, lnr, found = jax.device_get((lpt, lnr, found))
         return {
-            "lidar_pt": np.asarray(lpt)[:F],
-            "lidar_nrm": np.asarray(lnr)[:F],
-            "found": np.asarray(found)[:F],
+            "lidar_pt": lpt[:F],
+            "lidar_nrm": lnr[:F],
+            "found": found[:F],
         }
 
     # ------------------------------------------------------------------
@@ -271,10 +274,13 @@ class LidarMap:
             model_id,
             self.opts,
         )
+        import jax
+
+        lpt, lnr, found = jax.device_get((lpt, lnr, found))
         return {
-            "lidar_pt": np.asarray(lpt)[:, :F],
-            "lidar_nrm": np.asarray(lnr)[:, :F],
-            "found": np.asarray(found)[:, :F],
+            "lidar_pt": lpt[:, :F],
+            "lidar_nrm": lnr[:, :F],
+            "found": found[:, :F],
         }
 
     # ------------------------------------------------------------------
