@@ -101,26 +101,24 @@ def run_feature_extractor(
     camera_ids: dict[tuple, int] = {}
     model_id = cm.MODEL_IDS[reader.camera_model]
 
-    def produce(name):
-        path = os.path.join(image_path, name)
-        img = image_utils.imread_gray(path)
-        H0, W0 = img.shape
-        # EXIF-based focal prior (ImageReader + camera_database semantics,
-        # base/image_reader.cc / util/bitmap.cc ExifFocalLength)
-        exif_focal = None
-        if not reader.camera_params:
-            from ..utils.camera_database import exif_focal_length
+    def produce(batch):
+        out = []
+        for name in batch:
+            path = os.path.join(image_path, name)
+            img = image_utils.imread_gray(path)
+            H0, W0 = img.shape
+            # EXIF-based focal prior (ImageReader + camera_database semantics,
+            # base/image_reader.cc / util/bitmap.cc ExifFocalLength)
+            exif_focal = None
+            if not reader.camera_params:
+                from ..utils.camera_database import exif_focal_length
 
-            exif_focal = exif_focal_length(path, W0, H0)
-        img, scale = image_utils.resize_max(img, extraction.max_image_size)
-        return img, scale, (W0, H0), exif_focal
+                exif_focal = exif_focal_length(path, W0, H0)
+            img, scale = image_utils.resize_max(img, extraction.max_image_size)
+            out.append((img, scale, (W0, H0), exif_focal))
+        return out
 
-    def device_stage(name, data):
-        img, scale, (W0, H0), exif_focal = data
-        kp, desc, score, valid = sift_ops.extract(jnp.asarray(img), opts)
-        from ..utils.flops import FLOPS
-
-        FLOPS.add(sift_ops.extract_flops(img.shape[0], img.shape[1], opts), "sift")
+    def _postprocess(kp, desc, valid, scale):
         kp = np.asarray(kp)
         desc = np.asarray(sift_ops.descriptors_to_uint8(desc))
         valid = np.asarray(valid)
@@ -128,9 +126,44 @@ def run_feature_extractor(
         desc = desc[valid]
         if scale != 1.0:
             kp[:, :3] /= scale  # positions + scale back to original resolution
-        return kp, desc, (W0, H0), exif_focal
+        return kp, desc
 
-    def consume(name, result):
+    def device_stage(batch, data):
+        from ..utils.flops import FLOPS
+
+        results = []
+        # same-shape groups run as ONE vmapped dispatch (extract_batch)
+        shapes = {d[0].shape for d in data}
+        if len(data) > 1 and len(shapes) == 1:
+            stack = [d[0] for d in data]
+            while len(stack) < 4:  # constant B=4: one compiled batch shape
+                stack.append(stack[-1])
+            imgs = jnp.asarray(np.stack(stack))
+            kp_b, desc_b, score_b, valid_b = sift_ops.extract_batch(imgs, opts)
+            kp_b, desc_b, valid_b = jax.device_get(
+                (kp_b, sift_ops.descriptors_to_uint8(desc_b), valid_b)
+            )
+            for b, (img, scale, dims, exif_focal) in enumerate(data):
+                kp = kp_b[b][valid_b[b]]
+                desc = desc_b[b][valid_b[b]]
+                if scale != 1.0:
+                    kp = kp.copy()
+                    kp[:, :3] /= scale
+                FLOPS.add(sift_ops.extract_flops(img.shape[0], img.shape[1], opts), "sift")
+                results.append((kp, desc, dims, exif_focal))
+        else:
+            for img, scale, dims, exif_focal in data:
+                kp, desc, score, valid = sift_ops.extract(jnp.asarray(img), opts)
+                FLOPS.add(sift_ops.extract_flops(img.shape[0], img.shape[1], opts), "sift")
+                kp, desc = _postprocess(kp, desc, valid, scale)
+                results.append((kp, desc, dims, exif_focal))
+        return results
+
+    def consume(batch, results):
+        for name, result in zip(batch, results):
+            _consume_one(name, result)
+
+    def _consume_one(name, result):
         kp, desc, (W0, H0), exif_focal = result
         key = (reader.camera_model, W0, H0) if reader.single_camera else (name,)
         if key not in camera_ids:
@@ -157,7 +190,9 @@ def run_feature_extractor(
         db.write_descriptors(iid, desc)
         db.commit()
 
-    pipeline_map(names, produce, consume, device_stage, num_io_threads=num_io_threads)
+    # batches of 4: same-shape groups extract as one vmapped device dispatch
+    batches = [names[i : i + 4] for i in range(0, len(names), 4)]
+    pipeline_map(batches, produce, consume, device_stage, num_io_threads=num_io_threads)
     db.close()
     return len(names)
 

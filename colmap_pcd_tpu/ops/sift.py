@@ -341,6 +341,14 @@ def _orientation_and_descriptor(G, kx, ky, sigma_rel, opts, lidx=None, wh=None):
 
 
 @functools.partial(jax.jit, static_argnames=("opts",))
+def extract_batch(images: Array, opts: SiftOptions = SiftOptions()):
+    """vmapped extract over a batch of same-shape images [B,H,W]: one device
+    dispatch per image GROUP (the extraction pipeline batches 4) instead of
+    one per image."""
+    return jax.vmap(lambda im: extract(im, opts))(images)
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
 def extract(image: Array, opts: SiftOptions = SiftOptions()):
     """image [H,W] float32 in [0,1] -> (keypoints [K,4], descriptors [K,128],
     scores [K], valid [K] bool), K = opts.max_num_features."""
