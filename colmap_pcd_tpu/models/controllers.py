@@ -161,14 +161,23 @@ class IncrementalMapperController:
         with PHASES.phase("global_track_complete_merge"):
             self.mapper.triangulator.complete_tracks(topts, tri_opts_pids)
             self.mapper.triangulator.merge_tracks(topts, tri_opts_pids)
-        for _ in range(self.copts.ba_global_max_refinements):
+        for round_i in range(self.copts.ba_global_max_refinements):
             with PHASES.phase("global_ba_solve"):
                 if opts.if_add_lidar_constraint:
                     self.mapper.adjust_global_bundle_by_lidar(opts)
                 else:
                     self.mapper.adjust_global_bundle(opts)
             with PHASES.phase("global_filter"):
-                n_changed = self.mapper.filter_points(opts)
+                # round 0 filters the whole scene (track complete/merge above
+                # can have changed any point); later rounds only re-check the
+                # points the spherical solve could have moved — exact, since
+                # every point observed by a variable camera IS variable
+                subset = None
+                if round_i > 0 and opts.if_add_lidar_constraint:
+                    subset = sorted(
+                        getattr(self.mapper, "last_global_variable_pids", None) or []
+                    ) or None
+                n_changed = self.mapper.filter_points(opts, point_ids=subset)
             n_obs = sum(len(p.track) for p in self.rec.points3D.values())
             if n_changed / max(n_obs, 1) < self.copts.ba_global_max_refinement_change:
                 break

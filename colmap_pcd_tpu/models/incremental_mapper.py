@@ -1004,6 +1004,9 @@ class IncrementalMapper:
             self.rec.lidar_points_in_global = self.rec.lidar_points
             self.rec.lidar_points = saved
 
+        # remember the variable set: in-loop refinement filtering only needs
+        # to re-check points the solve could have moved
+        self.last_global_variable_pids = set(variable_pids)
         self._solve_ba(
             opts,
             variable_imgs,
@@ -1270,8 +1273,11 @@ class IncrementalMapper:
                 pts3D[pid].xyz = p_out[s]
 
     # -------------------------------------------------------------- filtering
-    def filter_points(self, opts: MapperOptions) -> int:
-        return self.rec.filter_points3D(opts.filter_max_reproj_error, opts.filter_min_tri_angle)
+    def filter_points(self, opts: MapperOptions, point_ids=None) -> int:
+        return self.rec.filter_points3D(
+            opts.filter_max_reproj_error, opts.filter_min_tri_angle,
+            point_ids=point_ids,
+        )
 
     def filter_images(self, opts: MapperOptions) -> int:
         """Deregister images with bogus cameras or too few 3D points
