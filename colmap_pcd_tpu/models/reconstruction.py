@@ -345,28 +345,35 @@ class Reconstruction:
         centers_cache: dict[int, np.ndarray] = {}
         for iid in {i for pid in live for i, _ in self.points3D[pid].track}:
             centers_cache[iid] = self.images[iid].projection_center()
-        T = max(len(self.points3D[pid].track) for pid in live)
-        P_ = len(live)
-        C = np.zeros((P_, max(T, 2), 3))
-        M = np.zeros((P_, max(T, 2)), bool)
-        X = np.zeros((P_, 3))
-        for k, pid in enumerate(live):
-            p = self.points3D[pid]
-            X[k] = p.xyz
-            for t, (iid, _) in enumerate(p.track):
-                C[k, t] = centers_cache[iid]
-                M[k, t] = True
-        V = C - X[:, None, :]
-        Vn = V / np.maximum(np.linalg.norm(V, axis=-1, keepdims=True), 1e-12)
-        cosm = np.einsum("pti,pui->ptu", Vn, Vn)
-        pairmask = M[:, :, None] & M[:, None, :]
-        np.einsum("ptt->pt", cosm)[:] = 1.0  # ignore self-pairs
-        cos_min = np.where(pairmask, cosm, 1.0).min(axis=(1, 2))
-        max_ang = np.arccos(np.clip(cos_min, -1.0, 1.0))
-        for k, pid in enumerate(live):
-            if max_ang[k] < min_ang:
-                self.delete_point3D(pid)
-                n_del += 1
+        # chunk by track length: one long track would otherwise size the
+        # whole [P,T,T] pairwise tensor (2.5 GB at 450-image scenes)
+        live.sort(key=lambda pid: len(self.points3D[pid].track))
+        CHUNK = 2048
+        to_delete = []
+        for c0 in range(0, len(live), CHUNK):
+            grp = live[c0 : c0 + CHUNK]
+            T = max(2, max(len(self.points3D[pid].track) for pid in grp))
+            P_ = len(grp)
+            C = np.zeros((P_, T, 3), np.float32)
+            M = np.zeros((P_, T), bool)
+            X = np.zeros((P_, 3), np.float32)
+            for k, pid in enumerate(grp):
+                p = self.points3D[pid]
+                X[k] = p.xyz
+                for t, (iid, _) in enumerate(p.track):
+                    C[k, t] = centers_cache[iid]
+                    M[k, t] = True
+            V = C - X[:, None, :]
+            Vn = V / np.maximum(np.linalg.norm(V, axis=-1, keepdims=True), 1e-12)
+            cosm = np.einsum("pti,pui->ptu", Vn, Vn)
+            pairmask = M[:, :, None] & M[:, None, :]
+            np.einsum("ptt->pt", cosm)[:] = 1.0  # ignore self-pairs
+            cos_min = np.where(pairmask, cosm, 1.0).min(axis=(1, 2))
+            max_ang = np.arccos(np.clip(cos_min, -1.0, 1.0))
+            to_delete.extend(pid for k, pid in enumerate(grp) if max_ang[k] < min_ang)
+        for pid in to_delete:
+            self.delete_point3D(pid)
+            n_del += 1
         return n_del
 
     # ------------------------------------------------------------------ stats
