@@ -43,10 +43,17 @@ class Camera:
 
     def padded_params(self) -> np.ndarray:
         # pure numpy: this is called per-observation in host hot loops, and
-        # cm.pad_params is a jnp op (a device dispatch through the TPU tunnel)
+        # cm.pad_params is a jnp op (a device dispatch through the TPU tunnel).
+        # Memoized on the params object identity — BA write-back REBINDS
+        # cam.params (never mutates in place), so identity is a valid key.
+        cached = getattr(self, "_pp_cache", None)
+        if cached is not None and cached[0] is self.params:
+            return cached[1]
         p = np.asarray(self.params, np.float32)
         assert p.shape[-1] == cm.NUM_PARAMS[self.model_id]
-        return np.pad(p, (0, cm.MAX_PARAMS - p.shape[-1]))
+        out = np.pad(p, (0, cm.MAX_PARAMS - p.shape[-1]))
+        self._pp_cache = (self.params, out)
+        return out
 
     def mean_focal_length(self) -> float:
         fi, fj, _, _ = cm._FOCAL_IDX[self.model_id]
