@@ -1089,26 +1089,31 @@ class IncrementalMapper:
                 obs_iid_parts.append(np.full(f.size, iid, np.int64))
                 obs_pid_parts.append(img.point3D_ids[f])
                 obs_uv_parts.append(img.xys[f])
-        # out-of-bundle observations of variable points, found by walking the
-        # variable points' own tracks (O(problem size), not O(scene size) —
-        # the track already lists every (image, feature) observation)
-        extra_f: dict[int, list[int]] = {}
-        pts3D_map = rec.points3D
-        for pid in var_arr:
-            p = pts3D_map.get(int(pid))
-            if p is None:
-                continue
-            for iid, fidx in p.track:
-                if iid not in bundle_set and rec.images[iid].registered:
-                    extra_f.setdefault(iid, []).append(fidx)
-        for iid, fl in extra_f.items():
-            img = rec.images[iid]
-            f = np.asarray(fl, np.int64)
-            img_ids.append(iid)
-            pose_fixed_ids = pose_fixed_ids | {iid}
-            obs_iid_parts.append(np.full(f.size, iid, np.int64))
-            obs_pid_parts.append(img.point3D_ids[f])
-            obs_uv_parts.append(img.xys[f])
+        # out-of-bundle observations of variable points: scan every other
+        # registered image with the same vectorized searchsorted filter
+        # (equivalent to walking the variable tracks, without the per-
+        # observation Python steps)
+        if var_arr.size:
+            for iid in rec.registered_ids:
+                if iid in bundle_set:
+                    continue
+                img = rec.images[iid]
+                f = np.nonzero(img.point3D_ids != INVALID_POINT3D)[0]
+                if f.size == 0:
+                    continue
+                pids_f = img.point3D_ids[f]
+                pos = np.searchsorted(var_arr, pids_f)
+                isvar = (pos < var_arr.size) & (
+                    var_arr[np.minimum(pos, var_arr.size - 1)] == pids_f
+                )
+                f = f[isvar]
+                if f.size == 0:
+                    continue
+                img_ids.append(iid)
+                pose_fixed_ids = pose_fixed_ids | {iid}
+                obs_iid_parts.append(np.full(f.size, iid, np.int64))
+                obs_pid_parts.append(img.point3D_ids[f])
+                obs_uv_parts.append(img.xys[f])
         if not obs_pid_parts:
             return
         obs_iid = np.concatenate(obs_iid_parts)
