@@ -219,14 +219,32 @@ class IncrementalTriangulator:
             q = self.rec.points3D[merge_target]
             n1, n2 = len(p.track), len(q.track)
             merged_xyz = (p.xyz * n1 + q.xyz * n2) / (n1 + n2)
-            ok = all(
-                self._reproj_error(iid, fidx, merged_xyz) < options.merge_max_reproj_error
-                for iid, fidx in p.track + q.track
-            )
-            if ok:
+            if self._tracks_reproject_ok(
+                p.track + q.track, merged_xyz, options.merge_max_reproj_error
+            ):
                 self.rec.merge_points3D(pid, merge_target)
                 n += n1 + n2
         return n
+
+    def _tracks_reproject_ok(self, track, xyz, max_err: float) -> bool:
+        """Vectorized 'all observations reproject within max_err' test (the
+        merge acceptance check runs over every candidate pair each global
+        round — per-observation scalar projection calls dominate it)."""
+        by_cam: dict[int, list] = {}
+        for iid, fidx in track:
+            img = self.rec.images[iid]
+            by_cam.setdefault(img.camera_id, []).append((img, fidx))
+        for cam_id, obs in by_cam.items():
+            cam = self.rec.cameras[cam_id]
+            qv = np.stack([img.qvec for img, _ in obs])
+            tv = np.stack([img.tvec for img, _ in obs])
+            uv = np.stack([img.xys[f] for img, f in obs])
+            xy, z = np_geom.project(cam.model_id, cam.padded_params()[None, :], qv, tv, xyz[None, :])
+            if np.any(z <= 0):
+                return False
+            if np.any(np.linalg.norm(xy - uv, axis=-1) >= max_err):
+                return False
+        return True
 
     def retriangulate(self, options: TriangulatorOptions) -> int:
         """Re-run triangulation over under-reconstructed registered images
