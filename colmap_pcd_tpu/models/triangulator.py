@@ -157,6 +157,7 @@ class IncrementalTriangulator:
             seen = set(p.track)
             while frontier:
                 iid, fidx = frontier.pop()
+                cands = []
                 for cid, cfeat in self.graph.find_correspondences(iid, fidx):
                     if (cid, cfeat) in seen:
                         continue
@@ -166,11 +167,40 @@ class IncrementalTriangulator:
                         continue
                     if cimg.point3D_ids[cfeat] != INVALID_POINT3D:
                         continue
-                    if self._reproj_error(cid, cfeat, p.xyz) < options.complete_max_reproj_error:
+                    cands.append((cid, cfeat))
+                if not cands:
+                    continue
+                # one vectorized reprojection check for all candidates of
+                # this observation (they usually share one camera)
+                errs = self._reproj_errors(cands, p.xyz)
+                for (cid, cfeat), e in zip(cands, errs):
+                    if e < options.complete_max_reproj_error:
                         self.rec.add_observation(pid, cid, cfeat)
                         frontier.append((cid, cfeat))
                         n += 1
         return n
+
+    def _reproj_errors(self, obs_list, xyz):
+        """Vectorized reprojection errors for [(image_id, feat_idx), ...]."""
+        errs = np.empty(len(obs_list))
+        by_cam: dict[int, list[int]] = {}
+        for k, (iid, _) in enumerate(obs_list):
+            by_cam.setdefault(self.rec.images[iid].camera_id, []).append(k)
+        for cam_id, rows in by_cam.items():
+            cam = self.rec.cameras[cam_id]
+            qv = np.stack([self.rec.images[obs_list[k][0]].qvec for k in rows])
+            tv = np.stack([self.rec.images[obs_list[k][0]].tvec for k in rows])
+            uv = np.stack(
+                [self.rec.images[obs_list[k][0]].xys[obs_list[k][1]] for k in rows]
+            )
+            xy, z = np_geom.project(
+                cam.model_id, cam.padded_params()[None, :], qv, tv, xyz[None, :]
+            )
+            e = np.linalg.norm(xy - uv, axis=-1)
+            e = np.where(z <= 0, np.inf, e)
+            for j, k in enumerate(rows):
+                errs[k] = e[j]
+        return errs
 
     def complete_image(self, options: TriangulatorOptions, image_id: int) -> int:
         """Try to continue existing tracks into this image's free features."""
