@@ -175,3 +175,35 @@ def test_ransac_homography_outliers(rng):
     )
     assert int(res.num_inliers) >= 130
     assert np.asarray(res.inlier_mask)[idx].sum() <= 3
+
+
+def test_pnp_outlier_envelope(rng):
+    """Quantify the P6P-DLT+EPnP substitution for Kneip P3P (PARITY §2.6):
+    6-point samples need (1-w)^6 all-inlier draws instead of (1-w)^3, so the
+    batched 2048-hypothesis bank must still recover the pose up to 60%
+    outliers — the envelope incremental mapping actually operates in
+    (abs_pose_min_inlier_ratio defaults to 0.25)."""
+    import jax
+
+    from colmap_pcd_tpu.ops import np_geom, ransac
+
+    n = 256
+    X = rng.uniform(-4, 4, (n, 3)).astype(np.float32) + [0, 0, 8]
+    q_gt = np_geom.quat_normalize(np.asarray([1.0, 0.05, -0.03, 0.02]))
+    t_gt = np.asarray([0.3, -0.2, 0.5])
+    pc = np_geom.quat_rotate(q_gt, X) + t_gt
+    uv = (pc[:, :2] / pc[:, 2:3]).astype(np.float32)  # normalized coords
+    for w in (0.3, 0.5, 0.6):
+        bad = rng.random(n) < w
+        uv_n = uv.copy()
+        uv_n[bad] = rng.uniform(-0.6, 0.6, (int(bad.sum()), 2))
+        res = ransac.ransac_pnp(
+            jnp.asarray(uv_n), jnp.asarray(X), jnp.asarray(np.ones(n, np.float32)),
+            jax.random.PRNGKey(int(w * 100)),
+            ransac.RansacOptions(max_error=4.0 / 500.0, num_hypotheses=2048),
+        )
+        q = np.asarray(res.q)
+        ang = 2 * np.arccos(np.clip(abs(np.dot(q, q_gt)), -1, 1))
+        n_in = int(res.num_inliers)
+        assert n_in >= 0.8 * (~bad).sum(), (w, n_in)
+        assert ang < np.deg2rad(1.0), (w, np.rad2deg(ang))
