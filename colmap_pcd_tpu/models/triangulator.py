@@ -67,12 +67,26 @@ class IncrementalTriangulator:
         if not img.registered:
             return 0
         num_tris = 0
+        # one vectorized graph lookup for every untriangulated feature
+        # (transitivity > 1 falls back to per-feature BFS)
+        corr_map: dict[int, list] | None = None
+        if options.max_transitivity <= 1:
+            free = np.nonzero(img.point3D_ids == INVALID_POINT3D)[0]
+            qid, nbr_img, nbr_feat = self.graph.find_batch(image_id, free)
+            corr_map = {}
+            for k in range(qid.size):
+                corr_map.setdefault(int(free[qid[k]]), []).append(
+                    (int(nbr_img[k]), int(nbr_feat[k]))
+                )
         for feat_idx in range(img.xys.shape[0]):
             if img.point3D_ids[feat_idx] != INVALID_POINT3D:
                 continue
-            corrs = self.graph.find_transitive_correspondences(
-                image_id, feat_idx, options.max_transitivity
-            )
+            if corr_map is not None:
+                corrs = corr_map.get(feat_idx, [])
+            else:
+                corrs = self.graph.find_transitive_correspondences(
+                    image_id, feat_idx, options.max_transitivity
+                )
             # partition correspondences
             existing_pids = []
             candidates = []  # (image_id, feat_idx) registered, untriangulated
