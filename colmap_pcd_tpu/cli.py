@@ -560,9 +560,20 @@ def cmd_model_transformer(argv):
 
 
 def cmd_model_aligner(argv):
-    """Align a model to reference positions via Umeyama + RANSAC
-    (RunModelAligner with --ref_images_path of 'name x y z' rows)."""
+    """Align a model to reference positions ('name x y z' rows).
+
+    Robust path (default, reference exe/model.cc RunModelAligner with
+    robust_alignment=true → Reconstruction::AlignRobust): RANSAC over
+    minimal-3 Umeyama similarity hypotheses gated by
+    --robust_alignment_max_error, LO-refit on inliers, then an L1 polish of
+    the 3x4 transform via least-absolute-deviations (ops/lad.py, the
+    reference's optim/least_absolute_deviations solver) projected back to
+    sim3 — accepted only if it lowers the mean inlier error.
+    --robust_alignment 0 falls back to plain Umeyama (reference Align)."""
     input_path = output_path = ref_path = None
+    robust = True
+    max_error = 0.0
+    min_common = 3
     it = iter(argv)
     for a in it:
         if a == "--input_path":
@@ -571,10 +582,20 @@ def cmd_model_aligner(argv):
             output_path = next(it)
         elif a == "--ref_images_path":
             ref_path = next(it)
+        elif a == "--robust_alignment":
+            robust = next(it) not in ("0", "false", "False")
+        elif a == "--robust_alignment_max_error":
+            max_error = float(next(it))
+        elif a == "--min_common_images":
+            min_common = int(next(it))
+    if robust and max_error <= 0:
+        print("ERROR: You must provide a maximum alignment error > 0")
+        return 1
+    import jax
     import jax.numpy as jnp
 
     from .models.reconstruction import Reconstruction
-    from .ops import solvers
+    from .ops import lad, ransac, se3, solvers
 
     rec = Reconstruction.read(input_path)
     refs = {}
@@ -588,15 +609,56 @@ def cmd_model_aligner(argv):
         if img.registered and img.name in refs:
             src.append(img.projection_center())
             dst.append(refs[img.name])
-    if len(src) < 3:
+    if len(src) < max(3, min_common):
         print("Not enough reference images")
         return 1
-    q, t, s = solvers.umeyama(
-        jnp.asarray(np.stack(src), jnp.float32), jnp.asarray(np.stack(dst), jnp.float32), with_scale=True
-    )
+    src = jnp.asarray(np.stack(src), jnp.float32)
+    dst = jnp.asarray(np.stack(dst), jnp.float32)
+    n_used = src.shape[0]
+    if robust:
+        res = ransac.ransac_similarity(
+            src, dst, jnp.ones(n_used), jax.random.PRNGKey(0),
+            ransac.RansacOptions(max_error=max_error, num_hypotheses=1024),
+        )
+        q, t, s, mask, n_in = jax.device_get(
+            (res.q, res.t, res.s, res.inlier_mask, res.num_inliers)
+        )
+        if int(n_in) < max(3, min_common):
+            print("Robust alignment failed: too few inliers")
+            return 1
+        # L1 polish on the inlier set: min_M sum ||M [x;1] - y||_1 over the
+        # free 3x4 M, then project back to a similarity.
+        srcn, dstn = np.asarray(src), np.asarray(dst)
+        inl = np.asarray(mask, bool)
+        Xh = np.concatenate([srcn[inl], np.ones((inl.sum(), 1), np.float32)], axis=1)
+        A = np.kron(np.eye(3, dtype=np.float32), Xh)  # [3m, 12]
+        b = dstn[inl].T.reshape(-1)  # y-coords grouped per output row
+        sR = float(s) * np.asarray(se3.quat_to_rotmat(jnp.asarray(q)))
+        x0 = np.concatenate([np.concatenate([sR, np.asarray(t)[:, None]], 1).reshape(-1)])
+        x = np.asarray(lad.solve_least_absolute_deviations(A, b, x0=jnp.asarray(x0)))
+        M = x.reshape(3, 4)
+        s2 = float(np.cbrt(max(np.linalg.det(M[:, :3]), 1e-12)))
+        U, _, Vt = np.linalg.svd(M[:, :3] / s2)
+        R2 = U @ Vt
+        q2 = np.asarray(se3.rotmat_to_quat(jnp.asarray(R2, jnp.float32)))
+        err_ransac = np.abs(float(s) * srcn[inl] @ np.asarray(sR / float(s)).T + np.asarray(t) - dstn[inl]).sum(1).mean()
+        err_lad = np.abs(s2 * srcn[inl] @ R2.T + M[:, 3] - dstn[inl]).sum(1).mean()
+        if err_lad < err_ransac:
+            q, t, s = q2, M[:, 3], s2
+        n_ref = int(n_in)
+    else:
+        q, t, s = jax.device_get(solvers.umeyama(src, dst, with_scale=True))
+        n_ref = n_used
     rec.transform(np.asarray(q), np.asarray(t), float(s))
+    errs = []
+    for img in rec.images.values():
+        if img.registered and img.name in refs:
+            errs.append(float(np.linalg.norm(img.projection_center() - refs[img.name])))
+    print(
+        f"Aligned model (scale {float(s):.4f}, {n_ref}/{n_used} refs; "
+        f"error mean {np.mean(errs):.4f} median {np.median(errs):.4f})"
+    )
     rec.write(output_path)
-    print(f"Aligned model (scale {float(s):.4f}, {len(src)} refs)")
     return 0
 
 

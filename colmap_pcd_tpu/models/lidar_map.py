@@ -314,11 +314,28 @@ class LidarMap:
         if backend in ("auto", "host") and self.host_tree is not None:
             idx, dist = self.host_tree.nn(np.asarray(queries, np.float32))
             return self.points[idx], self.normals[idx], dist
-        qpad = Q if pad_to is None else pad_to
-        qarr = np.zeros((qpad, 3), np.float32)
+        # device path: fused Pallas streaming 1-NN (ops/pallas_kernels.nn_argmin),
+        # padded queries to a 256 tile and the map to a 2048 tile (cached).
+        from ..ops import pallas_kernels as plk
+
+        tile_q = 256
+        qpad = -(-max(Q, pad_to or Q) // tile_q) * tile_q
+        qarr = np.full((qpad, 3), 1e30, np.float32)
         qarr[:Q] = queries
-        idx, dist = pc_ops.nn_query(
-            jnp.asarray(qarr), self.d_points, jnp.ones(self.num_points, jnp.float32)
+        pts_pad = getattr(self, "_d_points_nn", None)
+        if pts_pad is None:
+            tile_n = 2048
+            Mp = -(-self.num_points // tile_n) * tile_n
+            arr = np.full((Mp, 3), 1e30, np.float32)
+            arr[: self.num_points] = self.points
+            pts_pad = jnp.asarray(arr)
+            self._d_points_nn = pts_pad
+        # interpret mode follows the array's actual device (tests pin the
+        # default device to CPU while the axon TPU is still visible)
+        dev = next(iter(pts_pad.devices()))
+        idx, dist = plk.nn_argmin(
+            jnp.asarray(qarr), pts_pad, tile_q=tile_q,
+            interpret=dev.platform not in ("tpu", "axon"),
         )
         idx = np.asarray(idx)[:Q]
         return self.points[idx], self.normals[idx], np.asarray(dist)[:Q]

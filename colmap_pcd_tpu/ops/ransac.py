@@ -149,15 +149,28 @@ class TwoViewResult(NamedTuple):
 
 
 def _ransac_two_view(uv1, uv2, valid, key, opts, solver, resid, sample_k,
-                     quality=None, max_error=None):
+                     quality=None, max_error=None, minimal_solver=None,
+                     models_per_sample=1):
+    """minimal_solver (optional) hypothesizes from minimal samples and may
+    return several candidate models per sample as ([m,3,3], [m] valid bool);
+    `solver` is the non-minimal LO refit. Default: solver plays both roles
+    with one model per sample (the m=1 case)."""
     H = opts.num_hypotheses
-    idx = _draw_samples(key, valid, H, sample_k, quality)
+    n_samples = max(1, H // models_per_sample)
+    idx = _draw_samples(key, valid, n_samples, sample_k, quality)
 
-    def solve_one(ii):
-        return solver(uv1[ii], uv2[ii], None)
+    if minimal_solver is None:
+        def solve_one(ii):
+            return solver(uv1[ii], uv2[ii], None)[None], jnp.ones((1,), bool)
+    else:
+        def solve_one(ii):
+            return minimal_solver(uv1[ii], uv2[ii])
 
-    models = jax.vmap(solve_one)(idx)  # [H,3,3]
+    models, model_ok = jax.vmap(solve_one)(idx)  # [S,m,3,3],[S,m]
+    models = models.reshape(-1, 3, 3)
+    model_ok = model_ok.reshape(-1)
     errs = jax.vmap(lambda M: resid(M, uv1, uv2))(models)
+    errs = jnp.where(model_ok[:, None], errs, 1e12)  # invalid roots never win
     # max_error may be a traced scalar (per-pair focal-scaled thresholds in
     # batched verification); opts.max_error is the static default
     thr2 = (opts.max_error if max_error is None else max_error) ** 2
@@ -185,11 +198,18 @@ def _ransac_two_view(uv1, uv2, valid, key, opts, solver, resid, sample_k,
 
 @functools.partial(jax.jit, static_argnames=("opts",))
 def ransac_fundamental(uv1, uv2, valid, key, opts: RansacOptions = RansacOptions(), quality=None):
-    """F from pixel coords; max_error in pixels (Sampson)."""
+    """F from pixel coords; max_error in pixels (Sampson).
+
+    Hypothesizes with the 7-point minimal solver (up to 3 roots per sample)
+    and LO-refits with 8-point on the inliers, matching the reference's
+    F-LORANSAC (estimators/two_view_geometry.cc:271-273,392:
+    FundamentalMatrixSevenPointEstimator minimal +
+    FundamentalMatrixEightPointEstimator local)."""
     return _ransac_two_view(
         uv1, uv2, valid, key, opts,
         lambda a, b, m: solvers.eight_point(a, b, m, essential=False),
-        solvers.sampson_error, 8, quality,
+        solvers.sampson_error, 7, quality,
+        minimal_solver=solvers.seven_point, models_per_sample=3,
     )
 
 
@@ -203,6 +223,66 @@ def ransac_essential(uv1, uv2, valid, key, opts: RansacOptions = RansacOptions()
         lambda a, b, m: solvers.eight_point(a, b, m, essential=True),
         solvers.sampson_error, 8, quality, max_error,
     )
+
+
+class SimilarityResult(NamedTuple):
+    q: Array
+    t: Array
+    s: Array
+    inlier_mask: Array
+    num_inliers: Array
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def ransac_similarity(
+    src: Array,  # [N,3]
+    dst: Array,  # [N,3]
+    valid: Array,  # [N]
+    key: Array,
+    opts: RansacOptions = RansacOptions(),
+) -> SimilarityResult:
+    """Robust 3D similarity (sim3) from point correspondences: minimal-3
+    Umeyama hypothesis bank + Umeyama LO refit on inliers. max_error is the
+    Euclidean residual in destination units. Mirrors the reference's
+    Reconstruction::AlignRobust (base/reconstruction.cc, RANSAC over
+    SimilarityTransformEstimator<3,true> on projection centers, used by
+    exe/model.cc RunModelAligner robust_alignment)."""
+    H = opts.num_hypotheses
+    idx = _draw_samples(key, valid, H, 3)
+
+    def solve_one(ii):
+        return solvers.umeyama(src[ii], dst[ii], with_scale=True)
+
+    qs, ts, ss = jax.vmap(solve_one)(idx)
+
+    def resid(q, t, s):
+        pred = s * se3.quat_rotate(q, src) + t
+        return jnp.sum((pred - dst) ** 2, axis=-1)
+
+    errs = jax.vmap(resid)(qs, ts, ss)
+    thr2 = opts.max_error**2
+    n_in, score = _score(errs, valid, thr2)
+    best = jnp.argmax(score)
+    q_b, t_b, s_b = qs[best], ts[best], ss[best]
+
+    def lo_round(carry, _):
+        q_b, t_b, s_b, best_in = carry
+        e = resid(q_b, t_b, s_b)
+        inl = ((e < thr2) & (valid > 0)).astype(jnp.float32)
+        q_n, t_n, s_n = solvers.umeyama(src, dst, mask=inl, with_scale=True)
+        n_n = jnp.sum((resid(q_n, t_n, s_n) < thr2) & (valid > 0))
+        better = n_n >= best_in
+        q_b = jnp.where(better, q_n, q_b)
+        t_b = jnp.where(better, t_n, t_b)
+        s_b = jnp.where(better, s_n, s_b)
+        return (q_b, t_b, s_b, jnp.maximum(n_n, best_in)), None
+
+    (q_b, t_b, s_b, _), _ = jax.lax.scan(
+        lo_round, (q_b, t_b, s_b, n_in[best]), None, length=opts.lo_rounds
+    )
+    e = resid(q_b, t_b, s_b)
+    mask = (e < thr2) & (valid > 0)
+    return SimilarityResult(q_b, t_b, s_b, mask, jnp.sum(mask))
 
 
 @functools.partial(jax.jit, static_argnames=("opts",))

@@ -162,24 +162,30 @@ def epnp(uv: Array, X: Array, mask: Array | None = None) -> tuple[Array, Array]:
     return q, t_u / jnp.maximum(s, 1e-12)
 
 
-def umeyama(src: Array, dst: Array, with_scale: bool = False):
+def umeyama(src: Array, dst: Array, with_scale: bool = False, mask: Array | None = None):
     """Least-squares similarity/rigid transform src -> dst.
 
-    Returns (q, t, s) with dst ~ s * R(q) @ src + t. reference:
+    Returns (q, t, s) with dst ~ s * R(q) @ src + t; optional per-row weight
+    mask [n] restricts the fit to a subset (RANSAC LO refits). reference:
     base/similarity_transform.cc (Umeyama).
     """
-    mu_s = jnp.mean(src, axis=0)
-    mu_d = jnp.mean(dst, axis=0)
+    if mask is None:
+        w = jnp.ones(src.shape[0], src.dtype)
+    else:
+        w = jnp.asarray(mask, src.dtype)
+    wsum = jnp.maximum(jnp.sum(w), 1e-12)
+    mu_s = jnp.sum(src * w[:, None], axis=0) / wsum
+    mu_d = jnp.sum(dst * w[:, None], axis=0) / wsum
     sc = src - mu_s
     dc = dst - mu_d
-    cov = dc.T @ sc / src.shape[0]
+    cov = (dc * w[:, None]).T @ sc / wsum
     U, S, Vt = jnp.linalg.svd(cov)
     d = jnp.sign(jnp.linalg.det(U) * jnp.linalg.det(Vt))
     d = jnp.where(d == 0, 1.0, d)
     Dm = jnp.diag(jnp.stack([jnp.float32(1.0), jnp.float32(1.0), d]))
     R = U @ Dm @ Vt
     if with_scale:
-        var_s = jnp.mean(jnp.sum(sc * sc, axis=-1))
+        var_s = jnp.sum(jnp.sum(sc * sc, axis=-1) * w) / wsum
         s = jnp.sum(S * jnp.diagonal(Dm)) / jnp.maximum(var_s, 1e-12)
     else:
         s = jnp.float32(1.0)

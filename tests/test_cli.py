@@ -101,10 +101,52 @@ def test_cli_model_aligner_transformer(tmp_path, rng, capsys):
             x, y, z = 2 * c + [1, 2, 3]
             f.write(f"i{i}.png {x} {y} {z}\n")
     out = str(tmp_path / "out")
-    assert cli.main(["model_aligner", "--input_path", d, "--output_path", out, "--ref_images_path", ref]) == 0
+    # robust path requires a positive max_error (reference exe/model.cc:307)
+    assert cli.main(["model_aligner", "--input_path", d, "--output_path", out, "--ref_images_path", ref]) == 1
+    assert cli.main([
+        "model_aligner", "--input_path", d, "--output_path", out,
+        "--ref_images_path", ref, "--robust_alignment_max_error", "0.5",
+    ]) == 0
     rec2 = Reconstruction.read(out)
     for i, c in enumerate(centers, 1):
         np.testing.assert_allclose(rec2.images[i].projection_center(), 2 * c + [1, 2, 3], atol=1e-2)
+    # non-robust fallback (reference Align): plain Umeyama
+    assert cli.main([
+        "model_aligner", "--input_path", d, "--output_path", out,
+        "--ref_images_path", ref, "--robust_alignment", "0",
+    ]) == 0
+
+
+def test_cli_model_aligner_robust_outlier(tmp_path, rng):
+    """A single corrupt reference row must not corrupt the similarity fit
+    (reference AlignRobust: RANSAC<SimilarityTransformEstimator>)."""
+    from colmap_pcd_tpu.models.reconstruction import Camera, Image, Reconstruction
+
+    rec = Reconstruction()
+    rec.add_camera(Camera(1, 1, 640, 480, np.asarray([500.0, 500, 320, 240])))
+    centers = rng.normal(size=(8, 3)) * 3
+    for i, c in enumerate(centers, 1):
+        rec.add_image(Image(i, f"i{i}.png", 1, tvec=-c))
+        rec.register_image(i)
+    d = str(tmp_path / "in")
+    rec.write(d)
+    ref = str(tmp_path / "refs.txt")
+    with open(ref, "w") as f:
+        for i, c in enumerate(centers, 1):
+            x, y, z = 2 * c + [1, 2, 3]
+            if i == 3:  # gross outlier row
+                x, y, z = 500.0, -900.0, 1234.0
+            f.write(f"i{i}.png {x} {y} {z}\n")
+    out = str(tmp_path / "out")
+    assert cli.main([
+        "model_aligner", "--input_path", d, "--output_path", out,
+        "--ref_images_path", ref, "--robust_alignment_max_error", "0.5",
+    ]) == 0
+    rec2 = Reconstruction.read(out)
+    for i, c in enumerate(centers, 1):
+        if i == 3:
+            continue
+        np.testing.assert_allclose(rec2.images[i].projection_center(), 2 * c + [1, 2, 3], atol=5e-2)
 
 
 def test_cli_model_viewer(tmp_path, rng, capsys):
