@@ -314,6 +314,7 @@ def cmd_mapper(argv):
         snapshot_path=om.mapper.snapshot_path,
         snapshot_images_freq=om.mapper.snapshot_images_freq,
         image_pose_save_folder=om.mapper.image_pose_save_folder,
+        image_path=om.image_path,
     )
     ctl = IncrementalMapperController(
         rec, graph, _mapper_options(om), copts, lidar_map=lmap, pose_priors=priors
@@ -1049,6 +1050,248 @@ def cmd_model_viewer(argv):
     return 0
 
 
+def cmd_color_extractor(argv):
+    """Mean-track point colors from source images (RunColorExtractor,
+    exe/sfm.cc:168; reconstruction.cc ExtractColorsForAllImages)."""
+    p = _paths(argv, "image_path", "input_path", "output_path")
+    from .models.reconstruction import Reconstruction
+
+    rec = Reconstruction.read(p["input_path"])
+    rec.extract_colors_for_all_images(p["image_path"])
+    rec.write(p["output_path"])
+    n_colored = sum(1 for pt in rec.points3D.values() if pt.color.any())
+    print(f"Extracted colors for {n_colored}/{len(rec.points3D)} points")
+    return 0
+
+
+def cmd_feature_importer(argv):
+    """Import COLMAP text feature files (RunFeatureImporter, exe/feature.cc:177)."""
+    import_path = image_list_path = None
+    filtered = []
+    it = iter(argv)
+    for a in it:
+        if a == "--import_path":
+            import_path = next(it)
+        elif a == "--image_list_path":
+            image_list_path = next(it)
+        else:
+            filtered.append(a)
+    om, _ = _opt(filtered)
+    from .models.feature_pipeline import ImageReaderConfig, run_feature_importer
+
+    reader = ImageReaderConfig(
+        camera_model=om.image_reader.camera_model,
+        single_camera=om.image_reader.single_camera,
+        camera_params=om.image_reader.camera_params,
+        default_focal_factor=om.image_reader.default_focal_length_factor,
+    )
+    n = run_feature_importer(om.database_path, om.image_path, import_path, reader)
+    print(f"Imported features for {n} images")
+    return 0
+
+
+def cmd_image_deleter(argv):
+    """Deregister images by id/name list (RunImageDeleter, exe/image.cc:77)."""
+    p = _paths(argv, "input_path", "output_path", "image_ids_path", "image_names_path")
+    from .models.reconstruction import Reconstruction
+
+    rec = Reconstruction.read(p["input_path"])
+    if p["image_ids_path"]:
+        with open(p["image_ids_path"]) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                iid = int(line)
+                if iid in rec.images and rec.images[iid].registered:
+                    print(f"Deleting image_id={iid}, image_name={rec.images[iid].name}")
+                    rec.deregister_image(iid)
+                else:
+                    print(f"WARNING: Skipping image_id={iid} (not in reconstruction)")
+    if p["image_names_path"]:
+        by_name = {img.name: iid for iid, img in rec.images.items()}
+        with open(p["image_names_path"]) as f:
+            for line in f:
+                name = line.strip()
+                if not name:
+                    continue
+                iid = by_name.get(name)
+                if iid is not None and rec.images[iid].registered:
+                    print(f"Deleting image_id={iid}, image_name={name}")
+                    rec.deregister_image(iid)
+                else:
+                    print(f"WARNING: Skipping image_name={name} (not in reconstruction)")
+    rec.write(p["output_path"])
+    return 0
+
+
+def cmd_image_filterer(argv):
+    """Deregister images with bogus intrinsics or too few observations
+    (RunImageFilterer, exe/image.cc:155)."""
+    p = _paths(argv, "input_path", "output_path", "min_focal_length_ratio",
+               "max_focal_length_ratio", "max_extra_param", "min_num_observations")
+    from .models.reconstruction import Reconstruction
+
+    rec = Reconstruction.read(p["input_path"])
+    min_fr = float(p["min_focal_length_ratio"] or 0.1)
+    max_fr = float(p["max_focal_length_ratio"] or 10.0)
+    max_ep = float(p["max_extra_param"] or 100.0)
+    min_obs = int(p["min_num_observations"] or 10)
+    n0 = rec.num_reg_images
+    to_drop = []
+    for iid in list(rec.registered_ids):
+        img = rec.images[iid]
+        cam = rec.cameras[img.camera_id]
+        if cam.has_bogus_params(min_fr, max_fr, max_ep) or img.num_points3D() < min_obs:
+            to_drop.append(iid)
+    for iid in to_drop:
+        rec.deregister_image(iid)
+    print(f"Filtered {n0 - rec.num_reg_images} images from a total of {n0} images")
+    rec.write(p["output_path"])
+    return 0
+
+
+def cmd_image_rectifier(argv):
+    """Stereo-rectify image pairs against a model (RunImageRectifier,
+    exe/image.cc:204; base/undistortion.cc RectifyStereoCameras): undistort
+    both cameras, rotate so both optical axes are perpendicular to the
+    baseline with row-aligned epipolar lines, warp via one homography per
+    image, and write `<name1>-<name2>` rectified pairs."""
+    p = _paths(argv, "image_path", "input_path", "output_path", "stereo_pairs_list")
+    import jax.numpy as jnp
+
+    from .models.reconstruction import Reconstruction
+    from .models.undistortion import rectify_stereo_pair, undistorted_camera
+    from .utils import image as image_utils
+
+    rec = Reconstruction.read(p["input_path"])
+    by_name = {img.name: iid for iid, img in rec.images.items()}
+    os.makedirs(p["output_path"], exist_ok=True)
+    n = 0
+    with open(p["stereo_pairs_list"]) as f:
+        for line in f:
+            names = line.split()
+            if len(names) != 2:
+                continue
+            id1, id2 = by_name[names[0]], by_name[names[1]]
+            img1 = image_utils.imread_rgb(os.path.join(p["image_path"], names[0]))
+            img2 = image_utils.imread_rgb(os.path.join(p["image_path"], names[1]))
+            r1, r2 = rectify_stereo_pair(rec, id1, id2, img1, img2)
+            from PIL import Image as PILImage
+
+            stem = f"{os.path.splitext(names[0])[0]}-{os.path.splitext(names[1])[0]}"
+            PILImage.fromarray(r1).save(os.path.join(p["output_path"], stem + "_1.png"))
+            PILImage.fromarray(r2).save(os.path.join(p["output_path"], stem + "_2.png"))
+            n += 1
+    print(f"Rectified {n} stereo pairs")
+    return 0
+
+
+def cmd_image_registrator(argv):
+    """Register new database images into an existing model WITHOUT mapping
+    (RunImageRegistrator, exe/image.cc:239): PnP + pose refine per image, no
+    triangulation, no BA."""
+    input_path = output_path = None
+    filtered = []
+    it = iter(argv)
+    for a in it:
+        if a == "--input_path":
+            input_path = next(it)
+        elif a == "--output_path":
+            output_path = next(it)
+        else:
+            filtered.append(a)
+    om, _ = _opt(filtered)
+    from .models.incremental_mapper import IncrementalMapper
+
+    rec, graph, lmap, priors = _load_mapper_inputs(om, input_path)
+    mapper = IncrementalMapper(rec, graph, lmap, priors)
+    mapper.begin_reconstruction(rec)
+    mopts = _mapper_options(om)
+    n_new = 0
+    for iid in sorted(rec.images.keys()):
+        if rec.images[iid].registered:
+            continue
+        print(f"Registering image #{iid} ({rec.num_reg_images + 1})")
+        if mapper.register_next_image(mopts, iid):
+            n_new += 1
+    mapper.end_reconstruction(discard=False)
+    rec.write(output_path)
+    print(f"Registered {n_new} new images")
+    return 0
+
+
+def cmd_image_undistorter_standalone(argv):
+    """Undistort images listed as 'name MODEL params...' rows without any
+    reconstruction (RunImageUndistorterStandalone, exe/image.cc:407)."""
+    p = _paths(argv, "image_path", "input_file", "output_path")
+    from .models.reconstruction import Camera
+    from .models.undistortion import undistort_image, undistorted_camera
+    from .ops import camera_models as cm
+    from .utils import image as image_utils
+
+    os.makedirs(p["output_path"], exist_ok=True)
+    n = 0
+    with open(p["input_file"]) as f:
+        for line in f:
+            tok = line.split()
+            if len(tok) < 2:
+                continue
+            name, model_name = tok[0], tok[1]
+            params = np.asarray([float(x) for x in tok[2:]])
+            img = image_utils.imread_rgb(os.path.join(p["image_path"], name))
+            cam = Camera(1, cm.MODEL_IDS[model_name], img.shape[1], img.shape[0], params)
+            new_cam = undistorted_camera(cam)
+            out = undistort_image(img, cam, new_cam)
+            from PIL import Image as PILImage
+
+            dst = os.path.join(p["output_path"], name)
+            os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
+            PILImage.fromarray(out).save(dst)
+            n += 1
+    print(f"Undistorted {n} images")
+    return 0
+
+
+def cmd_point_filtering(argv):
+    """Filter 3D points by reproj error / tri angle / track length
+    (RunPointFiltering, exe/sfm.cc:303)."""
+    p = _paths(argv, "input_path", "output_path", "min_track_len",
+               "max_reproj_error", "min_tri_angle")
+    from .models.reconstruction import Reconstruction
+
+    rec = Reconstruction.read(p["input_path"])
+    min_track_len = int(p["min_track_len"] or 2)
+    n = rec.filter_points3D(
+        max_reproj_error=float(p["max_reproj_error"] or 4.0),
+        min_tri_angle_deg=float(p["min_tri_angle"] or 1.5),
+    )
+    for pid in list(rec.points3D.keys()):
+        if len(rec.points3D[pid].track) < min_track_len:
+            n += len(rec.points3D[pid].track)
+            rec.delete_point3D(pid)
+    print(f"Filtered observations: {n}")
+    rec.write(p["output_path"])
+    return 0
+
+
+def cmd_project_generator(argv):
+    """Write a full project.ini at a quality preset (RunProjectGenerator,
+    exe/gui.cc:77)."""
+    p = _paths(argv, "output_path", "quality")
+    from .utils.config import OptionManager
+
+    om = OptionManager()
+    try:
+        om.modify_for_quality(p["quality"] or "high")
+    except ValueError as e:
+        print(f"ERROR: {e}")
+        return 1
+    om.write_ini(p["output_path"])
+    print(f"Wrote project file to {p['output_path']}")
+    return 0
+
+
 def cmd_gui(argv):
     print(
         "This is the headless TPU build: there is no Qt GUI. Use "
@@ -1094,6 +1337,15 @@ COMMANDS = {
     "database_creator": cmd_database_creator,
     "automatic_reconstructor": cmd_automatic_reconstructor,
     "model_viewer": cmd_model_viewer,
+    "color_extractor": cmd_color_extractor,
+    "feature_importer": cmd_feature_importer,
+    "image_deleter": cmd_image_deleter,
+    "image_filterer": cmd_image_filterer,
+    "image_rectifier": cmd_image_rectifier,
+    "image_registrator": cmd_image_registrator,
+    "image_undistorter_standalone": cmd_image_undistorter_standalone,
+    "point_filtering": cmd_point_filtering,
+    "project_generator": cmd_project_generator,
     "gui": cmd_gui,
 }
 

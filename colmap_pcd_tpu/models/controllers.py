@@ -57,6 +57,8 @@ class ControllerOptions:
     snapshot_path: str = ""
     snapshot_images_freq: int = 0
     image_pose_save_folder: str = ""
+    image_path: str = ""  # when set, per-registration color extraction runs
+    extract_colors: bool = True
     verbose: bool = True
 
 
@@ -125,6 +127,11 @@ class IncrementalMapperController:
         self.mapper.filter_images(full)
         if self.rec.num_reg_images == 0 or len(self.rec.points3D) == 0:
             return "empty"
+        if self.copts.image_path and self.copts.extract_colors:
+            # color the init-pair points (ExtractColors after init,
+            # controllers/incremental_mapper.cc:713 region)
+            for iid in list(self.rec.registered_ids):
+                self.rec.extract_colors_for_image(iid, self.copts.image_path)
         return "ok"
 
     def initialize(self, init_opts: MapperOptions | None = None) -> bool:
@@ -225,6 +232,13 @@ class IncrementalMapperController:
                     if self._check_global_refinement():
                         with PHASES.phase("global_refinement"):
                             self.iterative_global_refinement()
+                    if self.copts.image_path and self.copts.extract_colors:
+                        # per-registration point coloring (ExtractColors,
+                        # controllers/incremental_mapper.cc:205-214,734)
+                        with PHASES.phase("extract_colors"):
+                            self.rec.extract_colors_for_image(
+                                image_id, self.copts.image_path
+                            )
                     if (
                         self.copts.snapshot_path
                         and self.copts.snapshot_images_freq > 0

@@ -197,6 +197,75 @@ def run_feature_extractor(
     return len(names)
 
 
+def run_feature_importer(
+    database_path: str,
+    image_path: str,
+    import_path: str,
+    reader: ImageReaderConfig = ImageReaderConfig(),
+) -> int:
+    """Import pre-extracted features from COLMAP text files
+    (FeatureImporter, feature/extraction.cc + exe/feature.cc:177
+    RunFeatureImporter): for every image under image_path, reads
+    `<import_path>/<name>.txt` with header "NUM DIM" and rows
+    `x y scale orientation d1..dDIM` (uint8 descriptors). Camera assignment
+    follows the same reader rules as extraction."""
+    from ..ops import camera_models as cm
+    from ..utils import image as image_utils
+
+    names = list_images(image_path)
+    db = Database(database_path)
+    model_id = cm.MODEL_IDS[reader.camera_model]
+    camera_ids: dict[tuple, int] = {}
+    n_done = 0
+    for name in names:
+        feat_path = os.path.join(import_path, name + ".txt")
+        if not os.path.exists(feat_path):
+            print(f"skipping {name}: no feature file {feat_path}")
+            continue
+        with open(feat_path) as fh:
+            header = fh.readline().split()
+            num, dim = int(header[0]), int(header[1])
+            rows = np.loadtxt(fh, dtype=np.float64, ndmin=2)
+        if rows.size == 0:
+            kp = np.zeros((0, 4), np.float32)
+            desc = np.zeros((0, dim), np.uint8)
+        else:
+            assert rows.shape[1] == 4 + dim, (rows.shape, dim)
+            kp = rows[:num, :4].astype(np.float32)
+            desc = np.clip(np.round(rows[:num, 4:]), 0, 255).astype(np.uint8)
+        from PIL import Image as PILImage
+
+        with PILImage.open(os.path.join(image_path, name)) as im:
+            W0, H0 = im.size
+        key = (reader.camera_model, W0, H0) if reader.single_camera else (name,)
+        if key not in camera_ids:
+            if reader.camera_params:
+                params = [float(x) for x in reader.camera_params.split(",")]
+                prior_focal = True
+            else:
+                from ..utils.camera_database import exif_focal_length
+
+                f = exif_focal_length(os.path.join(image_path, name), W0, H0)
+                prior_focal = f is not None
+                f = f or reader.default_focal_factor * max(W0, H0)
+                n = cm.NUM_PARAMS[model_id]
+                fi, fj, ci, cj = cm._FOCAL_IDX[model_id]
+                params = [0.0] * n
+                params[fi] = params[fj] = f
+                params[ci] = W0 / 2
+                params[cj] = H0 / 2
+            camera_ids[key] = db.add_camera(
+                model_id, W0, H0, params, prior_focal=prior_focal
+            )
+        iid = db.add_image(name, camera_ids[key])
+        db.write_keypoints(iid, kp)
+        db.write_descriptors(iid, desc)
+        db.commit()
+        n_done += 1
+    db.close()
+    return n_done
+
+
 # ---------------------------------------------------------------------------
 # matching
 

@@ -406,6 +406,92 @@ class Reconstruction:
         xyz = np.stack([p.xyz for p in self.points3D.values()])
         return xyz.min(0), xyz.max(0)
 
+    # ----------------------------------------------------------------- colors
+    @staticmethod
+    def _bilinear_colors(rgb: np.ndarray, xys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized bilinear color sampling at keypoints, COLMAP's
+        upper-left-pixel-center-at-(0.5, 0.5) convention
+        (reconstruction.cc:1516 InterpolateBilinear at (x-0.5, y-0.5)).
+        Returns (colors [N,3] float, in_bounds [N] bool)."""
+        Hh, Ww = rgb.shape[:2]
+        x = np.asarray(xys[:, 0], np.float64) - 0.5
+        y = np.asarray(xys[:, 1], np.float64) - 0.5
+        x0 = np.floor(x).astype(np.int64)
+        y0 = np.floor(y).astype(np.int64)
+        ok = (x0 >= 0) & (y0 >= 0) & (x0 + 1 < Ww) & (y0 + 1 < Hh)
+        x0c = np.clip(x0, 0, Ww - 2)
+        y0c = np.clip(y0, 0, Hh - 2)
+        fx = (x - x0c)[:, None]
+        fy = (y - y0c)[:, None]
+        img = rgb.astype(np.float64)
+        c = (
+            img[y0c, x0c] * (1 - fx) * (1 - fy)
+            + img[y0c, x0c + 1] * fx * (1 - fy)
+            + img[y0c + 1, x0c] * (1 - fx) * fy
+            + img[y0c + 1, x0c + 1] * fx * fy
+        )
+        return c, ok
+
+    def extract_colors_for_image(self, image_id: int, image_dir: str) -> bool:
+        """Color still-black 3D points from this image's keypoint pixels
+        (reconstruction.cc:1500-1527 ExtractColorsForImage; called per
+        registration by the mapper controller,
+        controllers/incremental_mapper.cc:205-214)."""
+        import os as _os
+
+        from ..utils import image as image_utils
+
+        img = self.images[image_id]
+        path = _os.path.join(image_dir, img.name)
+        try:
+            rgb = image_utils.imread_rgb(path)
+        except Exception:
+            return False
+        sel = np.nonzero(img.point3D_ids != INVALID_POINT3D)[0]
+        if sel.size == 0:
+            return True
+        colors, ok = self._bilinear_colors(rgb, img.xys[sel])
+        for k in np.nonzero(ok)[0]:
+            p = self.points3D.get(int(img.point3D_ids[sel[k]]))
+            if p is not None and not p.color.any():
+                p.color = colors[k].astype(np.uint8)
+        return True
+
+    def extract_colors_for_all_images(self, image_dir: str):
+        """Mean track color over all registered images
+        (reconstruction.cc:1529-1575 ExtractColorsForAllImages; black when no
+        image observes the point)."""
+        import os as _os
+
+        from ..utils import image as image_utils
+
+        sums: dict[int, np.ndarray] = {}
+        counts: dict[int, int] = {}
+        for iid in self.registered_ids:
+            img = self.images[iid]
+            try:
+                rgb = image_utils.imread_rgb(_os.path.join(image_dir, img.name))
+            except Exception:
+                print(f"Could not read image {img.name} at path {image_dir}.")
+                continue
+            sel = np.nonzero(img.point3D_ids != INVALID_POINT3D)[0]
+            if sel.size == 0:
+                continue
+            colors, ok = self._bilinear_colors(rgb, img.xys[sel])
+            for k in np.nonzero(ok)[0]:
+                pid = int(img.point3D_ids[sel[k]])
+                if pid in sums:
+                    sums[pid] += colors[k]
+                    counts[pid] += 1
+                else:
+                    sums[pid] = colors[k].copy()
+                    counts[pid] = 1
+        for pid, p in self.points3D.items():
+            if pid in sums:
+                p.color = (sums[pid] / counts[pid]).astype(np.uint8)
+            else:
+                p.color = np.zeros(3, np.uint8)
+
     def transform(self, q, t, scale=1.0):
         """Apply a similarity transform to all poses and points
         (reconstruction.cc Transform)."""

@@ -89,6 +89,117 @@ def undistort_image(img: np.ndarray, cam: Camera, new_cam: Camera) -> np.ndarray
     return out
 
 
+def rectify_stereo_cameras(cam1: Camera, cam2: Camera, qvec: np.ndarray, tvec: np.ndarray):
+    """Row-aligning rectification homographies for two PINHOLE cameras with
+    relative pose (qvec, tvec) of cam2 w.r.t. cam1
+    (base/undistortion.cc:978-1038 RectifyStereoCameras). Returns
+    (H1, H2, Q) with Q the disparity-to-depth reprojection matrix."""
+    from ..ops import np_geom
+
+    # split the relative rotation evenly between the two views
+    q = np.asarray(qvec, np.float64)
+    q = q / np.linalg.norm(q)
+    angle = 2.0 * np.arctan2(np.linalg.norm(q[1:]), q[0])
+    axis = q[1:] / max(np.linalg.norm(q[1:]), 1e-15)
+    # rotation by -angle/2 about the same axis (reference: rvec.angle() *= -0.5)
+    half = -0.5 * angle
+    q_half = np.concatenate([[np.cos(half / 2)], axis * np.sin(half / 2)])
+    R2 = np_geom.quat_to_rotmat(q_half)
+    R1 = R2.T
+    t = R2 @ np.asarray(tvec, np.float64)
+    x_unit = np.array([1.0, 0.0, 0.0])
+    if t @ x_unit < 0:
+        x_unit = -x_unit
+    rot_axis = np.cross(t, x_unit)
+    if np.linalg.norm(rot_axis) < 1e-15:
+        R_x = np.eye(3)
+    else:
+        ang = np.arccos(np.clip(abs(t @ x_unit) / np.linalg.norm(t), -1.0, 1.0))
+        a = rot_axis / np.linalg.norm(rot_axis)
+        K_ = np.array([[0, -a[2], a[1]], [a[2], 0, -a[0]], [-a[1], a[0], 0]])
+        R_x = np.eye(3) + np.sin(ang) * K_ + (1 - np.cos(ang)) * (K_ @ K_)
+    R1 = R_x @ R1
+    R2 = R_x @ R2
+    t = R_x @ t
+    f = min(cam1.mean_focal_length(), cam2.mean_focal_length())
+    fi, fj, ci, cj = cm._FOCAL_IDX[cam1.model_id]
+    fi2, fj2, ci2, cj2 = cm._FOCAL_IDX[cam2.model_id]
+    cx = cam1.params[ci]
+    cy = (cam1.params[cj] + cam2.params[cj2]) / 2
+    K = np.array([[f, 0, cx], [0, f, cy], [0, 0, 1.0]])
+
+    def calib(camx):
+        fi_, fj_, ci_, cj_ = cm._FOCAL_IDX[camx.model_id]
+        p = camx.params
+        return np.array([[p[fi_], 0, p[ci_]], [0, p[fj_], p[cj_]], [0, 0, 1.0]])
+
+    H1 = K @ R1 @ np.linalg.inv(calib(cam1))
+    H2 = K @ R2 @ np.linalg.inv(calib(cam2))
+    Q = np.eye(4)
+    Q[3, 0] = -K[1, 2]
+    Q[3, 1] = -K[0, 2]
+    Q[3, 2] = K[0, 0]
+    Q[2, 3] = -1.0 / t[0] if abs(t[0]) > 1e-15 else 0.0
+    Q[3, 3] = 0.0
+    return H1, H2, Q
+
+
+def _warp_homography_from_distorted(img: np.ndarray, H_inv: np.ndarray, cam: Camera, und_cam: Camera):
+    """Warp a distorted source image into the rectified frame: target pixel
+    -> H^{-1} -> undistorted pixel -> normalized -> distorted source pixel ->
+    bilinear sample (base/undistortion.cc WarpImageWithHomographyBetweenCameras)."""
+    H, W = img.shape[:2]
+    yy, xx = np.meshgrid(np.arange(H, dtype=np.float64), np.arange(W, dtype=np.float64), indexing="ij")
+    tgt = np.stack([xx.ravel() + 0.5, yy.ravel() + 0.5, np.ones(H * W)], axis=0)
+    und = H_inv @ tgt
+    und = und[:2] / und[2:]
+    fi, fj, ci, cj = cm._FOCAL_IDX[und_cam.model_id]
+    p = und_cam.params
+    uv = np.stack([(und[0] - p[ci]) / p[fi], (und[1] - p[cj]) / p[fj]], axis=-1)
+    src = np.asarray(
+        cm.world_to_image(cam.model_id, jnp.asarray(cam.padded_params()), jnp.asarray(uv, jnp.float32))
+    )
+    x = src[:, 0] - 0.5
+    y = src[:, 1] - 0.5
+    x0 = np.clip(np.floor(x).astype(np.int64), 0, W - 1)
+    y0 = np.clip(np.floor(y).astype(np.int64), 0, H - 1)
+    x1 = np.clip(x0 + 1, 0, W - 1)
+    y1 = np.clip(y0 + 1, 0, H - 1)
+    fx = np.clip(x - x0, 0, 1)[:, None]
+    fy = np.clip(y - y0, 0, 1)[:, None]
+    im = img.reshape(H, W, -1).astype(np.float64)
+    v = (
+        im[y0, x0] * (1 - fx) * (1 - fy)
+        + im[y0, x1] * fx * (1 - fy)
+        + im[y1, x0] * (1 - fx) * fy
+        + im[y1, x1] * fx * fy
+    )
+    inb = ((x >= 0) & (x <= W - 1) & (y >= 0) & (y <= H - 1)).astype(np.float64)[:, None]
+    out = (v * inb).reshape(H, W, -1)
+    if img.ndim == 2:
+        out = out[..., 0]
+    if img.dtype == np.uint8:
+        out = np.clip(np.round(out), 0, 255).astype(np.uint8)
+    return out
+
+
+def rectify_stereo_pair(rec: Reconstruction, id1: int, id2: int, img1: np.ndarray, img2: np.ndarray):
+    """Rectified image pair for two registered images (StereoImageRectifier,
+    base/undistortion.cc:1040-1075)."""
+    from ..ops import np_geom
+
+    im1, im2 = rec.images[id1], rec.images[id2]
+    cam1, cam2 = rec.cameras[im1.camera_id], rec.cameras[im2.camera_id]
+    # relative pose of image2 w.r.t. image1
+    q_rel = np_geom.quat_mul(im2.qvec, np_geom.quat_conj(im1.qvec))
+    t_rel = im2.tvec - np_geom.quat_to_rotmat(q_rel) @ im1.tvec
+    u1, u2 = undistorted_camera(cam1), undistorted_camera(cam2)
+    H1, H2, _ = rectify_stereo_cameras(u1, u2, q_rel, t_rel)
+    r1 = _warp_homography_from_distorted(img1, np.linalg.inv(H1), cam1, u1)
+    r2 = _warp_homography_from_distorted(img2, np.linalg.inv(H2), cam2, u2)
+    return r1, r2
+
+
 def run_image_undistorter(
     image_path: str,
     input_model: str,

@@ -192,6 +192,30 @@ class OptionManager:
         cur = getattr(obj, f)
         setattr(obj, f, _coerce(val, type(cur)))
 
+    # ------------------------------------------------------- quality presets
+    def modify_for_quality(self, quality: str):
+        """Quality presets applied to the option fields this build carries
+        (option_manager.cc:111-168 ModifyFor{Low,Medium,High,Extreme}Quality;
+        fields we don't have — patch-match samples, vocab-tree sizes — are
+        governed by their own config dataclasses at call sites)."""
+        q = quality.lower()
+        if q == "low":
+            self.sift_extraction.max_image_size = 1000
+            self.bundle_adjustment.max_num_iterations = 50
+        elif q == "medium":
+            self.sift_extraction.max_image_size = 1600
+            self.bundle_adjustment.max_num_iterations = 66
+        elif q == "high":
+            self.sift_extraction.estimate_affine_shape = True
+            self.sift_extraction.max_image_size = 2400
+            self.sift_matching.guided_matching = True
+        elif q == "extreme":
+            self.sift_extraction.estimate_affine_shape = True
+            self.sift_extraction.domain_size_pooling = True
+            self.sift_matching.guided_matching = True
+        else:
+            raise ValueError(f"invalid quality {quality!r}")
+
     # -------------------------------------------------------------- ini
     def write_ini(self, path: str):
         cp = configparser.ConfigParser()
