@@ -146,6 +146,12 @@ def main():
     log(f"device: {dev.device_kind} ({dev.platform})")
     FLOPS.reset()
 
+    # background-compile the recorded shape ladder while rendering/extraction
+    # occupies the wall clock (utils/prewarm.py; kills the r2 mid-run stalls)
+    from colmap_pcd_tpu.utils import prewarm
+
+    prewarm.replay()
+
     gt = make_gt(n_images, step)
     tmp = tempfile.mkdtemp(prefix="bench_")
     img_dir = os.path.join(tmp, "imgs")
@@ -245,6 +251,7 @@ def main():
         steady_fps = n_reg / map_s if map_s > 0 else 0.0
         first_half_fps = steady_fps
 
+    prewarm.save()  # journal this run's shape ladder for future prewarms
     peak = peak_flops_per_s(dev)
     mfu = FLOPS.total / max(wall_all, 1e-9) / peak
     log(f"model flops: {FLOPS.total/1e12:.3f} TF "

@@ -302,7 +302,9 @@ def cmd_mapper(argv):
             filtered.append(a)
     om, _ = _opt(filtered)
     from .models.controllers import ControllerOptions, IncrementalMapperController
+    from .utils import prewarm
 
+    prewarm.replay()  # overlap shape-ladder compiles with DB loading
     rec, graph, lmap, priors = _load_mapper_inputs(om, input_path)
     copts = ControllerOptions(
         min_num_matches=om.mapper.min_num_matches,
@@ -320,6 +322,7 @@ def cmd_mapper(argv):
         rec, graph, _mapper_options(om), copts, lidar_map=lmap, pose_priors=priors
     )
     manager = ctl.run()
+    prewarm.save()
     if output_path:
         manager.write(output_path)
         print(f"Wrote {manager.size()} model(s) to {output_path}")

@@ -164,10 +164,17 @@ class IncrementalMapperController:
         tri_opts_pids = list(self.rec.points3D.keys())
         from .triangulator import TriangulatorOptions
 
-        topts = TriangulatorOptions()
+        topts = TriangulatorOptions(min_angle=opts.filter_min_tri_angle)
         with PHASES.phase("global_track_complete_merge"):
             self.mapper.triangulator.complete_tracks(topts, tri_opts_pids)
             self.mapper.triangulator.merge_tracks(topts, tri_opts_pids)
+        with PHASES.phase("retriangulate"):
+            # revisit under-reconstructed pairs before the BA rounds
+            # (IterativeGlobalRefinement, controllers/incremental_mapper.cc:
+            # 150-180: CompleteAndMergeTracks -> Retriangulate -> BA loop);
+            # repeated global rounds make this the reference's multi-pass
+            # retriangulation — the prime drift corrector at scale
+            self.mapper.triangulator.retriangulate(topts)
         for round_i in range(self.copts.ba_global_max_refinements):
             with PHASES.phase("global_ba_solve"):
                 if opts.if_add_lidar_constraint:

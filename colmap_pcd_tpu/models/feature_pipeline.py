@@ -297,7 +297,7 @@ class _MatchWorker:
             v[:N] = 1.0
             if len(self._cache) > 200:  # LRU-ish cap (FeatureMatcherCache parity)
                 self._cache.pop(next(iter(self._cache)))
-            self._cache[image_id] = (kp_p, jnp.asarray(d_p), jnp.asarray(v))
+            self._cache[image_id] = (kp_p, jnp.asarray(d_p), jnp.asarray(v), N)
         return self._cache[image_id]
 
     def match_pairs(self, pair_list, chunk: int = 16) -> int:
@@ -332,10 +332,19 @@ class _MatchWorker:
                 uniq.append((p, True))  # duplicate padding: compute, skip IO
         feats = [(self._feats(i), self._feats(j)) for i, j in pairs]
         B = len(pairs)
+        # per-image caps are already power-of-two bucketed (_feats); the chunk
+        # cap (their max) therefore is too — a bounded compile ladder
         cap = max(
             max(f1[1].shape[0] for f1, _ in feats),
             max(f2[1].shape[0] for _, f2 in feats),
         )
+        if cap == 0 or all(f1[3] == 0 or f2[3] == 0 for f1, f2 in feats):
+            # a fully degenerate chunk (textureless batch): nothing to match
+            for (id1, id2), (_, dup) in zip(pairs, uniq):
+                if not dup:
+                    self.db.write_matches(id1, id2, np.zeros((0, 2), np.uint32))
+            self.db.commit()
+            return 0
 
         def repad(d, v):
             k = cap - d.shape[0]
@@ -347,7 +356,7 @@ class _MatchWorker:
             )
 
         d1s, v1s, d2s, v2s = [], [], [], []
-        for (kp1, d1, v1), (kp2, d2, v2) in feats:
+        for (kp1, d1, v1, _n1), (kp2, d2, v2, _n2) in feats:
             d1p, v1p = repad(d1, v1)
             d2p, v2p = repad(d2, v2)
             d1s.append(d1p)
@@ -368,7 +377,9 @@ class _MatchWorker:
         sim_b = np.asarray(sim_b)
         from ..utils.flops import FLOPS
 
-        FLOPS.add(2.0 * B * cap * cap * 128, "matching")
+        # count REAL per-pair descriptor work, not the padded bank (the
+        # padded count inflated reported MFU; advisor finding r2)
+        FLOPS.add(sum(2.0 * f1[3] * f2[3] * 128 for f1, f2 in feats), "matching")
 
         items, meta = [], []
         for b, (id1, id2) in enumerate(pairs):
@@ -429,9 +440,9 @@ class _MatchWorker:
 
     def match_pair(self, id1: int, id2: int) -> int:
         """Match + verify + write. Returns inlier count."""
-        kp1, d1, v1 = self._feats(id1)
-        kp2, d2, v2 = self._feats(id2)
-        if d1.shape[0] == 0 or d2.shape[0] == 0:
+        kp1, d1, v1, n1 = self._feats(id1)
+        kp2, d2, v2, n2 = self._feats(id2)
+        if n1 == 0 or n2 == 0:
             return 0
         mopts = matching_ops.MatchingOptions(
             max_ratio=self.cfg.max_ratio,
@@ -532,14 +543,7 @@ def run_sequential_matcher(
     db = Database(database_path)
     w = _MatchWorker(db, config)
     ids = sorted(db.images().keys())  # name-ordered assumed == id order
-    pair_list = []
-    for a, i in enumerate(ids):
-        for d in range(1, overlap + 1):
-            offsets = [d, (1 << d)] if quadratic_overlap else [d]
-            for off in offsets:
-                b = a + off
-                if b < len(ids) and (i, ids[b]) not in pair_list:
-                    pair_list.append((i, ids[b]))
+    pair_list = sequential_pair_list(ids, overlap, quadratic_overlap)
     n = w.match_pairs(pair_list)
     if loop_detection:
         from ..ops import retrieval
@@ -547,16 +551,36 @@ def run_sequential_matcher(
         index = retrieval.build_index(
             {i: np.asarray(db.read_descriptors(i), np.float32) for i in ids}
         )
+        # set-based dedup, seeded with the sequential pairs so overlapping
+        # loop candidates are neither re-matched nor double-counted
+        seen = {(min(i, j), max(i, j)) for i, j in pair_list}
         loop_pairs = []
         for a in range(0, len(ids), loop_detection_period):
             i = ids[a]
             cand = retrieval.query(index, i, loop_detection_num_images)
             for j in cand:
-                if j != i and (min(i, j), max(i, j)) not in loop_pairs:
-                    loop_pairs.append((min(i, j), max(i, j)))
+                key = (min(i, j), max(i, j))
+                if j != i and key not in seen:
+                    seen.add(key)
+                    loop_pairs.append(key)
         n += w.match_pairs(loop_pairs)
     db.close()
     return n
+
+
+def sequential_pair_list(ids: list[int], overlap: int, quadratic_overlap: bool):
+    """Deduped sequential pair list (SequentialFeatureMatcher pair policy)."""
+    seen: set[tuple[int, int]] = set()
+    pair_list: list[tuple[int, int]] = []
+    for a, i in enumerate(ids):
+        for d in range(1, overlap + 1):
+            offsets = [d, (1 << d)] if quadratic_overlap else [d]
+            for off in offsets:
+                b = a + off
+                if b < len(ids) and (i, ids[b]) not in seen:
+                    seen.add((i, ids[b]))
+                    pair_list.append((i, ids[b]))
+    return pair_list
 
 
 def run_spatial_matcher(

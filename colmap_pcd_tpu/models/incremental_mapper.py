@@ -40,6 +40,7 @@ from ..ops import ba as ba_ops
 from ..ops import pointcloud as pc_ops
 from ..ops import np_geom
 from ..ops import ransac as ransac_ops
+from ..utils import prewarm
 from .correspondence_graph import CorrespondenceGraph
 from .lidar_map import LidarMap
 from .reconstruction import (
@@ -244,13 +245,13 @@ class IncrementalMapper:
             )
             for b, (iid, fidx) in enumerate(zip(iids, feat_sets)):
                 img = self.rec.images[iid]
-                result = {}
-                for k in range(fidx.size):
-                    if out["found"][b, k]:
-                        result[int(img.point3D_ids[fidx[k]])] = (
-                            out["lidar_pt"][b, k], out["lidar_nrm"][b, k]
-                        )
-                self._proj_cache[iid] = result
+                hit = np.nonzero(out["found"][b, : fidx.size])[0]
+                pids = img.point3D_ids[fidx[hit]]
+                lp = out["lidar_pt"][b, hit]
+                ln = out["lidar_nrm"][b, hit]
+                self._proj_cache[iid] = {
+                    int(p): (lp[k], ln[k]) for k, p in enumerate(pids)
+                }
 
     def _match_variable_points_to_lidar(self, point3D_ids, image_id: int, opts: MapperOptions):
         """Project2Image + MatchVariablePoint2LidarPoint, batched: across each
@@ -406,15 +407,21 @@ class IncrementalMapper:
         Xp[: sel.size] = X[sel]
         vp[: sel.size] = 1.0
         thr = opts.abs_pose_max_error / cam2.mean_focal_length()
+        # threshold passed traced: per-camera focal scaling must not fork the
+        # jit cache (utils/prewarm.py rationale)
+        ro = ransac_ops.RansacOptions(num_hypotheses=opts.num_ransac_hypotheses)
+        prewarm.record("pnp", N=npad, opts=ro._asdict(), refine_iters=10)
         res = ransac_ops.ransac_pnp(
             jnp.asarray(uvp), jnp.asarray(Xp), jnp.asarray(vp),
-            jax.random.PRNGKey(0),
-            ransac_ops.RansacOptions(max_error=thr, num_hypotheses=opts.num_ransac_hypotheses),
+            jax.random.PRNGKey(0), ro,
+            refine_iters=10,  # same compiled program as register_next_image
+            max_error=jnp.float32(thr),
         )
-        if int(res.num_inliers) < opts.abs_pose_min_num_inliers:
+        n_in2, q2_a, t2_a = jax.device_get((res.num_inliers, res.q, res.t))
+        if int(n_in2) < opts.abs_pose_min_num_inliers:
             return False
-        img2.qvec = np.asarray(res.q, np.float64)
-        img2.tvec = np.asarray(res.t, np.float64)
+        img2.qvec = np.asarray(q2_a, np.float64)
+        img2.tvec = np.asarray(t2_a, np.float64)
         # pose prior for image2 wins if present (reference :577-580)
         if image_id2 in self.pose_priors:
             img2.qvec, img2.tvec = (np.asarray(v, np.float64) for v in self.pose_priors[image_id2])
@@ -525,6 +532,11 @@ class IncrementalMapper:
         if discard:
             for iid in self.rec.registered_ids:
                 self.num_registrations[iid] = self.num_registrations.get(iid, 1) - 1
+
+    @property
+    def _registered_set(self) -> set:
+        # O(R) set of ints per call — trivial next to any per-image work
+        return set(self.rec.registered_ids)
 
     def _register_image_event(self, image_id: int):
         """(RegisterImageEvent, :1916): register in the current model and bump
@@ -687,25 +699,21 @@ class IncrementalMapper:
         qid, nimg, nfeat = self.graph.find_batch(image_id, feats)
         if qid.size == 0:
             return np.zeros(0, np.int64), np.zeros(0, np.int64)
-        # flat pid lookup tables over registered images
-        reg = self.rec.registered_ids
-        max_id = int(max(self.rec.images.keys())) + 1
-        idx_of = np.full(max_id, -1, np.int64)
-        offs = np.zeros(len(reg) + 1, np.int64)
-        parts = []
-        for k, iid in enumerate(reg):
-            idx_of[iid] = k
-            pids_k = self.rec.images[iid].point3D_ids
-            offs[k + 1] = offs[k] + pids_k.shape[0]
-            parts.append(pids_k)
-        flat = np.concatenate(parts) if parts else np.zeros(0, np.int64)
-        ok = (nimg < max_id) & (nimg >= 0)
-        ridx = np.where(ok, idx_of[np.minimum(nimg, max_id - 1)], -1)
-        ok &= ridx >= 0
+        # group the correspondences by neighbor image and gather pids from the
+        # live per-image arrays — O(covisible images) per call, instead of
+        # rebuilding a flat table over ALL registered images (the r2 profile
+        # showed that rebuild at 60% of register wall at 450-image scale)
+        reg_set = self._registered_set
         pid = np.full(qid.shape, INVALID_POINT3D, np.int64)
-        sel = np.nonzero(ok)[0]
-        pid[sel] = flat[offs[ridx[sel]] + nfeat[sel]]
-        ok &= pid != INVALID_POINT3D
+        order = np.argsort(nimg, kind="stable")
+        uniq, starts = np.unique(nimg[order], return_index=True)
+        bounds = np.append(starts, nimg.shape[0])
+        for k, u in enumerate(uniq):
+            if int(u) not in reg_set:
+                continue
+            rows = order[bounds[k] : bounds[k + 1]]
+            pid[rows] = self.rec.images[int(u)].point3D_ids[nfeat[rows]]
+        ok = pid != INVALID_POINT3D
         sel = np.nonzero(ok)[0]
         if sel.size == 0:
             return np.zeros(0, np.int64), np.zeros(0, np.int64)
@@ -725,25 +733,30 @@ class IncrementalMapper:
         tri_feat_arr, tri_pid_arr = self._search_2d3d(image_id)
         if tri_feat_arr.size < opts.abs_pose_min_num_inliers:
             return False
-        tri_feat = tri_feat_arr.tolist()
-        tri_pid = tri_pid_arr.tolist()
+        n_tri = tri_feat_arr.size
         pts3D = self.rec.points3D
         uv = img.xys[tri_feat_arr].astype(np.float32)
-        X = np.asarray([pts3D[p].xyz for p in tri_pid], np.float32)
-        tri_uv = uv
+        X = np.asarray([pts3D[p].xyz for p in tri_pid_arr.tolist()], np.float32)
         nuv = np_geom.image_to_world(cam.model_id, cam.padded_params(), uv).astype(np.float32)
-        npad = _bucket(len(tri_uv), 2048)
+        npad = _bucket(n_tri, 2048)
         uvp = np.zeros((npad, 2), np.float32)
         Xp = np.zeros((npad, 3), np.float32)
         vp = np.zeros(npad, np.float32)
-        uvp[: len(tri_uv)] = nuv
-        Xp[: len(tri_uv)] = X
-        vp[: len(tri_uv)] = 1.0
+        uvp[:n_tri] = nuv
+        Xp[:n_tri] = X
+        vp[:n_tri] = 1.0
         thr = opts.abs_pose_max_error / cam.mean_focal_length()
+        # one fused dispatch: RANSAC + Cauchy-GN pose polish
+        # (RegisterNextImage's EstimateAbsolutePose + RefineAbsolutePose,
+        # :824-868, collapsed into a single device program — a second
+        # dispatch is a full tunnel round trip)
+        ro = ransac_ops.RansacOptions(num_hypotheses=opts.num_ransac_hypotheses)
+        prewarm.record("pnp", N=npad, opts=ro._asdict(), refine_iters=10)
         res = ransac_ops.ransac_pnp(
             jnp.asarray(uvp), jnp.asarray(Xp), jnp.asarray(vp),
-            jax.random.PRNGKey(image_id),
-            ransac_ops.RansacOptions(max_error=thr, num_hypotheses=opts.num_ransac_hypotheses),
+            jax.random.PRNGKey(image_id), ro,
+            refine_iters=10,
+            max_error=jnp.float32(thr),
         )
         # one batched device->host fetch (each float()/np.asarray is its own
         # ~25 ms tunnel round trip)
@@ -753,24 +766,30 @@ class IncrementalMapper:
         n_in = int(n_in_a)
         if n_in < opts.abs_pose_min_num_inliers:
             return False
-        if n_in < opts.abs_pose_min_inlier_ratio * len(tri_uv):
+        if n_in < opts.abs_pose_min_inlier_ratio * n_tri:
             return False
         img.qvec = np.asarray(q_a, np.float64)
         img.tvec = np.asarray(t_a, np.float64)
         # pose prior injection (:737-750): prior overrides PnP when available
-        if image_id in self.pose_priors:
+        has_prior = image_id in self.pose_priors
+        if has_prior:
             img.qvec, img.tvec = (np.asarray(v, np.float64) for v in self.pose_priors[image_id])
 
         self._register_image_event(image_id)
         self.last_registered_id = image_id
-        # continue tracks for inliers
-        mask = mask_a[: len(tri_uv)]
-        for k in np.nonzero(mask)[0]:
-            fidx, pid = tri_feat[k], tri_pid[k]
-            if img.point3D_ids[fidx] == INVALID_POINT3D and pid in self.rec.points3D:
-                if (image_id, fidx) not in self.rec.points3D[pid].track:
-                    self.rec.add_observation(pid, image_id, fidx)
-        self._refine_pose(image_id, opts)
+        # continue tracks for inliers (:930-960) — vectorized candidate
+        # filtering, add_observation only on the accepted rows
+        inl = np.nonzero(mask_a[:n_tri])[0]
+        f_sel = tri_feat_arr[inl]
+        p_sel = tri_pid_arr[inl]
+        free = img.point3D_ids[f_sel] == INVALID_POINT3D
+        for fidx, pid in zip(f_sel[free].tolist(), p_sel[free].tolist()):
+            if img.point3D_ids[fidx] == INVALID_POINT3D and pid in pts3D:
+                self.rec.add_observation(pid, image_id, fidx)
+        if has_prior:
+            # PnP's fused polish refined the estimated pose; a prior replaces
+            # it after the fact, so polish around the prior separately
+            self._refine_pose(image_id, opts)
         return True
 
     def _refine_pose(self, image_id: int, opts: MapperOptions):
@@ -807,48 +826,68 @@ class IncrementalMapper:
 
     # -------------------------------------------------------------- local BA
     def find_local_bundle(self, opts: MapperOptions, image_id: int) -> list[int]:
-        """Most-covisible registered images with triangulation-angle
-        re-ranking (FindLocalBundle, sfm/incremental_mapper.cc:1747-1914):
-        candidates are ordered by shared-point count, but a candidate only
-        enters the bundle directly if the median triangulation angle of its
-        shared points (at the point, between the two camera centers) clears
-        local_ba_min_tri_angle — weak-baseline views are deferred and only
-        fill remaining slots."""
+        """Most-covisible registered images with the reference's full 8-stage
+        (tri-angle, shared-count) relaxation ladder (FindLocalBundle,
+        sfm/incremental_mapper.cc:1747-1914): candidates ordered by shared
+        observations; each stage admits candidates whose 75th-percentile
+        triangulation angle (over the new image's 3D points, against the
+        candidate's center — the reference computes angles over ALL of the
+        image's points, :1858-1864) clears angle/k AND whose shared count
+        clears frac*num_points3D; remaining slots fill as stages relax.
+        Selects local_ba_num_images - 1 neighbors (:1782)."""
         img = self.rec.images[image_id]
-        shared: dict[int, list[np.ndarray]] = {}
+        shared_count: dict[int, int] = {}
+        xyz_list: list[np.ndarray] = []
+        pts3D = self.rec.points3D
         for fidx in np.nonzero(img.point3D_ids != INVALID_POINT3D)[0]:
             pid = int(img.point3D_ids[fidx])
-            p = self.rec.points3D.get(pid)
+            p = pts3D.get(pid)
             if p is None:
                 continue
+            xyz_list.append(p.xyz)
             for iid, _ in p.track:
                 if iid != image_id and self.rec.images[iid].registered:
-                    shared.setdefault(iid, []).append(p.xyz)
-        ranked = sorted(shared.items(), key=lambda kv: -len(kv[1]))
-        n_want = opts.local_ba_num_images
+                    shared_count[iid] = shared_count.get(iid, 0) + 1
+        ranked = sorted(shared_count.items(), key=lambda kv: -kv[1])
+        n_want = min(max(opts.local_ba_num_images - 1, 0), len(ranked))
+        if len(ranked) == n_want:
+            return [iid for iid, _ in ranked]
+        num_pts = len(xyz_list)
+        xyz = np.asarray(xyz_list)
         min_angle = math.radians(opts.local_ba_min_tri_angle)
         C_new = img.projection_center()
+        d1 = C_new[None, :] - xyz
+        n1 = np.linalg.norm(d1, axis=1)
+        ladder = [
+            (min_angle / 1.0, 0.6 * num_pts), (min_angle / 1.5, 0.6 * num_pts),
+            (min_angle / 2.0, 0.5 * num_pts), (min_angle / 2.5, 0.4 * num_pts),
+            (min_angle / 3.0, 0.3 * num_pts), (min_angle / 4.0, 0.2 * num_pts),
+            (min_angle / 5.0, 0.1 * num_pts), (min_angle / 6.0, 0.1 * num_pts),
+        ]
+        tri_angle = [-1.0] * len(ranked)
+        used = [False] * len(ranked)
         selected: list[int] = []
-        deferred: list[int] = []
-        for iid, xyzs in ranked:
+        for ang_thr, cnt_thr in ladder:
+            for k, (iid, cnt) in enumerate(ranked):
+                if cnt < cnt_thr:
+                    break
+                if used[k]:
+                    continue
+                if tri_angle[k] < 0.0:
+                    C2 = self.rec.images[iid].projection_center()
+                    d2 = C2[None, :] - xyz
+                    denom = n1 * np.linalg.norm(d2, axis=1)
+                    cosang = np.einsum("ij,ij->i", d1, d2) / np.maximum(denom, 1e-12)
+                    angles = np.arccos(np.clip(cosang, -1.0, 1.0))
+                    tri_angle[k] = float(np.percentile(angles, 75)) if angles.size else 0.0
+                if tri_angle[k] >= ang_thr:
+                    selected.append(iid)
+                    used[k] = True
+                    if len(selected) >= n_want:
+                        break
             if len(selected) >= n_want:
                 break
-            xyz = np.asarray(xyzs)
-            C2 = self.rec.images[iid].projection_center()
-            d1 = C_new[None, :] - xyz
-            d2 = C2[None, :] - xyz
-            denom = np.linalg.norm(d1, axis=1) * np.linalg.norm(d2, axis=1)
-            cosang = np.einsum("ij,ij->i", d1, d2) / np.maximum(denom, 1e-12)
-            angles = np.arccos(np.clip(cosang, -1.0, 1.0))
-            if np.median(angles) >= min_angle:
-                selected.append(iid)
-            else:
-                deferred.append(iid)
-        for iid in deferred:
-            if len(selected) >= n_want:
-                break
-            selected.append(iid)
-        return selected[:n_want]
+        return selected
 
     def adjust_local_bundle(
         self, opts: MapperOptions, image_id: int, point3D_ids: set[int]
@@ -1242,6 +1281,10 @@ class IncrementalMapper:
             mesh, axis = self.dist_mesh
             out = dist_ba.solve_distributed(prob, cfg, mesh, axis)
         else:
+            prewarm.record(
+                "ba", C=C, P=P, N=N, T=T, K=intr.shape[0],
+                npb=bool(num_pose_blocks), cfg=cfg._asdict(),
+            )
             out = ba_ops.solve(prob, cfg)
         # ONE batched device->host fetch: each separate np.asarray/float()
         # is its own ~25 ms round trip through the axon tunnel

@@ -195,15 +195,17 @@ class LidarMap:
         if Fp != F:
             feat_xy = np.concatenate([feat_xy, np.zeros((Fp - F, 2), np.float32)])
             feat_valid = np.concatenate([feat_valid, np.zeros(Fp - F, np.float32)])
-        cand_idx, cand_valid = self.frustum_candidates(q, t, params, model_id, width, height)
-        cand_pts = self.d_points[jnp.asarray(cand_idx)]
-        cand_nrm = self.d_normals[jnp.asarray(cand_idx)]
+        mp, mn, mv = self._map_padded()
+        from ..utils import prewarm
+
+        prewarm.record(
+            "depth_proj", B=0, F=int(feat_xy.shape[0]), M=int(mp.shape[0]),
+            width=width, height=height, model_id=model_id, opts=self.opts._asdict(),
+        )
         lpt, lnr, found = pc_ops.depth_project(
             jnp.asarray(feat_xy, jnp.float32),
             jnp.asarray(feat_valid, jnp.float32),
-            cand_pts,
-            cand_nrm,
-            jnp.asarray(cand_valid),
+            mp, mn, mv,
             jnp.asarray(q, jnp.float32),
             jnp.asarray(t, jnp.float32),
             jnp.asarray(params, jnp.float32),
@@ -220,6 +222,27 @@ class LidarMap:
             "lidar_nrm": lnr[:F],
             "found": found[:F],
         }
+
+    def _map_padded(self):
+        """Padded full-map device arrays (points, normals, valid), cached.
+        Projection against the FULL map needs no per-view candidate gather or
+        [B,M] index upload — the projection itself culls (in-image + depth in
+        [min_lidar_proj_dist, choose_meter]) and the map streams from HBM.
+        Padding to a power-of-two bucket fixes the compiled shape for the
+        whole run."""
+        cached = getattr(self, "_d_map_pad", None)
+        if cached is None:
+            M = self.num_points
+            Mp = max(32768, 1 << int(np.ceil(np.log2(max(M, 1)))))
+            pad = Mp - M
+            mp = jnp.concatenate([self.d_points, jnp.zeros((pad, 3), jnp.float32)])
+            mn = jnp.concatenate([self.d_normals, jnp.zeros((pad, 3), jnp.float32)])
+            mv = jnp.concatenate(
+                [jnp.ones(M, jnp.float32), jnp.zeros(pad, jnp.float32)]
+            )
+            cached = (mp, mn, mv)
+            self._d_map_pad = cached
+        return cached
 
     # ------------------------------------------------------------------
     def project_to_images(
@@ -239,33 +262,37 @@ class LidarMap:
 
         Returns dict with lidar_pt [B,F,3], lidar_nrm [B,F,3], found [B,F].
         """
-        B, F = feat_xy.shape[:2]
+        B0, F = feat_xy.shape[:2]
+        # bucket BOTH padded dims: every distinct (B, F) pair is a separate
+        # multi-minute tunnel compile (advisor finding r2: raw chunk caps)
+        B = max(2, 1 << int(np.ceil(np.log2(max(B0, 1)))))
         Fp = max(1024, 1 << int(np.ceil(np.log2(max(F, 1)))))
-        if Fp != F:
-            feat_xy = np.concatenate(
-                [feat_xy, np.zeros((B, Fp - F, 2), np.float32)], axis=1
-            )
-            feat_valid = np.concatenate(
-                [feat_valid, np.zeros((B, Fp - F), np.float32)], axis=1
-            )
-        # per-view candidates, padded to the largest view's bucket
-        cands = [
-            self.frustum_candidates(qs[b], ts[b], params, model_id, width, height)
-            for b in range(B)
-        ]
-        M = max(c[0].shape[0] for c in cands)
-        cand_idx = np.zeros((B, M), np.int64)
-        cand_valid = np.zeros((B, M), np.float32)
-        for b, (ci, cv) in enumerate(cands):
-            cand_idx[b, : ci.shape[0]] = ci
-            cand_valid[b, : cv.shape[0]] = cv
-        ji = jnp.asarray(cand_idx)
-        lpt, lnr, found = pc_ops.depth_project_batch(
+        feat_xy = np.concatenate(
+            [feat_xy, np.zeros((B0, Fp - F, 2), np.float32)], axis=1
+        ) if Fp != F else feat_xy
+        feat_valid = np.concatenate(
+            [feat_valid, np.zeros((B0, Fp - F), np.float32)], axis=1
+        ) if Fp != F else feat_valid
+        if B != B0:
+            feat_xy = np.concatenate([feat_xy, np.zeros((B - B0, Fp, 2), np.float32)])
+            feat_valid = np.concatenate([feat_valid, np.zeros((B - B0, Fp), np.float32)])
+            qs = np.concatenate([qs, np.tile([[1.0, 0, 0, 0]], (B - B0, 1))]).astype(np.float32)
+            ts = np.concatenate([ts, np.zeros((B - B0, 3), np.float32)])
+        # FULL-MAP shared candidate set: the projection culls on device, so
+        # there is no per-view frustum gather and no [B,M] index upload (the
+        # r3 profile showed that upload + gather at ~0.5 s per local-BA round
+        # through the tunnel)
+        mp, mn, mv = self._map_padded()
+        from ..utils import prewarm
+
+        prewarm.record(
+            "depth_proj", B=B, F=int(feat_xy.shape[1]), M=int(mp.shape[0]),
+            width=width, height=height, model_id=model_id, opts=self.opts._asdict(),
+        )
+        lpt, lnr, found = pc_ops.depth_project_shared(
             jnp.asarray(feat_xy, jnp.float32),
             jnp.asarray(feat_valid, jnp.float32),
-            self.d_points[ji],
-            self.d_normals[ji],
-            jnp.asarray(cand_valid),
+            mp, mn, mv,
             jnp.asarray(qs, jnp.float32),
             jnp.asarray(ts, jnp.float32),
             jnp.broadcast_to(jnp.asarray(params, jnp.float32), (B, 12)),
@@ -278,9 +305,9 @@ class LidarMap:
 
         lpt, lnr, found = jax.device_get((lpt, lnr, found))
         return {
-            "lidar_pt": lpt[:, :F],
-            "lidar_nrm": lnr[:, :F],
-            "found": found[:, :F],
+            "lidar_pt": lpt[:B0, :F],
+            "lidar_nrm": lnr[:B0, :F],
+            "found": found[:B0, :F],
         }
 
     # ------------------------------------------------------------------

@@ -37,12 +37,19 @@ class TriangulatorOptions:
     min_focal_length_ratio: float = 0.1
     max_focal_length_ratio: float = 10.0
     max_extra_param: float = 1.0
+    # retriangulation (incremental_triangulator.h:65-73)
+    re_max_angle_error: float = 5.0  # deg: relaxed continue gate
+    re_min_ratio: float = 0.2  # only pairs with tri ratio below this
+    re_max_trials: int = 1  # retriangulation attempts per pair
 
 
 class IncrementalTriangulator:
     def __init__(self, rec: Reconstruction, graph):
         self.rec = rec
         self.graph = graph
+        # per-pair retriangulation trial counters (re_num_trials_,
+        # incremental_triangulator.h:155)
+        self.re_num_trials: dict[tuple[int, int], int] = {}
 
     # ------------------------------------------------------------------
     def _normalized(self, image_id: int, feat_idx: int) -> np.ndarray:
@@ -291,11 +298,89 @@ class IncrementalTriangulator:
         return True
 
     def retriangulate(self, options: TriangulatorOptions) -> int:
-        """Re-run triangulation over under-reconstructed registered images
-        (Retriangulate, incremental_triangulator.h:136 — simplified: one pass
-        of triangulate_image over all registered images)."""
+        """Retriangulate under-reconstructed image pairs (Retriangulate,
+        incremental_triangulator.cc:350-496): for every registered pair whose
+        triangulated-correspondence ratio is below re_min_ratio (and with
+        fewer than re_max_trials prior attempts), continue one-sided
+        correspondences into existing tracks with the RELAXED re gate, and
+        create new two-view points with the ORIGINAL thresholds ("do not use
+        larger triangulation threshold ... causes significant drift",
+        :481-485). Repeated global rounds make this multi-pass: each round
+        revisits pairs still under re_min_ratio within their trial budget."""
         n = 0
-        relaxed = TriangulatorOptions(**{**options.__dict__, "min_angle": options.min_angle / 2})
-        for iid in list(self.rec.registered_ids):
-            n += self.triangulate_image(relaxed, iid)
+        # our continue gate is a pixel reproj bound; scale it by the ratio of
+        # the reference's relaxed/strict angular gates (5.0/2.0 deg default)
+        re_scale = options.re_max_angle_error / max(options.continue_max_angle_error, 1e-9)
+        re_thr = options.complete_max_reproj_error * re_scale
+        pts3D = self.rec.points3D
+        for i, j in list(self.graph.image_pairs()):
+            img1 = self.rec.images.get(i)
+            img2 = self.rec.images.get(j)
+            if img1 is None or img2 is None or not (img1.registered and img2.registered):
+                continue
+            m = self.graph.matches_between(i, j)
+            if len(m) == 0:
+                continue
+            pids1 = img1.point3D_ids[m[:, 0]]
+            pids2 = img2.point3D_ids[m[:, 1]]
+            tri = int(np.sum((pids1 == pids2) & (pids1 != INVALID_POINT3D)))
+            if tri / len(m) >= options.re_min_ratio:
+                continue
+            trials = self.re_num_trials.get((i, j), 0)
+            if trials >= options.re_max_trials:
+                continue
+            self.re_num_trials[(i, j)] = trials + 1
+            cam1 = self.rec.cameras[img1.camera_id]
+            cam2 = self.rec.cameras[img2.camera_id]
+            if cam1.has_bogus_params(
+                options.min_focal_length_ratio, options.max_focal_length_ratio,
+                options.max_extra_param,
+            ) or cam2.has_bogus_params(
+                options.min_focal_length_ratio, options.max_focal_length_ratio,
+                options.max_extra_param,
+            ):
+                continue
+            has1 = pids1 != INVALID_POINT3D
+            has2 = pids2 != INVALID_POINT3D
+            # one-sided: continue the free feature into the existing track
+            # (vectorized reproj gate per direction)
+            n += self._continue_rows(
+                img2, m[:, 1], pids1, np.nonzero(has1 & ~has2)[0], re_thr, j
+            )
+            n += self._continue_rows(
+                img1, m[:, 0], pids2, np.nonzero(~has1 & has2)[0], re_thr, i
+            )
+            # both free: create new two-view points with STRICT options
+            for k in np.nonzero(~has1 & ~has2)[0]:
+                f1, f2 = int(m[k, 0]), int(m[k, 1])
+                if (
+                    img1.point3D_ids[f1] == INVALID_POINT3D
+                    and img2.point3D_ids[f2] == INVALID_POINT3D
+                ):
+                    n += self._try_create_point(options, [(i, f1), (j, f2)])
+        return n
+
+    def _continue_rows(self, img, feats, pids, rows, max_err: float, image_id: int) -> int:
+        """Continue existing points `pids[rows]` into `img`'s free features
+        `feats[rows]` when they reproject within max_err (vectorized)."""
+        if rows.size == 0:
+            return 0
+        pts3D = self.rec.points3D
+        keep = [k for k in rows if int(pids[k]) in pts3D]
+        if not keep:
+            return 0
+        cam = self.rec.cameras[img.camera_id]
+        X = np.stack([pts3D[int(pids[k])].xyz for k in keep])
+        xy, z = np_geom.project(
+            cam.model_id, cam.padded_params(), img.qvec, img.tvec, X
+        )
+        uv = img.xys[feats[keep]]
+        err = np.linalg.norm(xy - uv, axis=-1)
+        ok = (z > 0) & (err < max_err)
+        n = 0
+        for idx, k in enumerate(keep):
+            f = int(feats[k])
+            if ok[idx] and img.point3D_ids[f] == INVALID_POINT3D:
+                self.rec.add_observation(int(pids[k]), image_id, f)
+                n += 1
         return n

@@ -189,7 +189,15 @@ def depth_project(
         xy, _ = cm.project(model_id, params, q, t, pts)  # full-model projection
         puv = jnp.round(xy * sc)  # [B,2]
         sx, sy = splat_scales(z, fx, fy, opts)
-        ok = (val > 0) & (z > 0) & (z >= opts.min_lidar_proj_dist)
+        # choose_meter caps candidate depth exactly (the frustum pyramid's
+        # far plane, pcd_projection.cc:258-297 — applied here so the
+        # full-map path needs no host-side culling at all)
+        ok = (
+            (val > 0)
+            & (z > 0)
+            & (z >= opts.min_lidar_proj_dist)
+            & (z <= opts.choose_meter)
+        )
         # coverage test per (feature, candidate): |fu - pu| <= sx etc.
         du = jnp.abs(fuv[:, 0:1] - puv[None, :, 0])  # [F,B]
         dv = jnp.abs(fuv[:, 1:2] - puv[None, :, 1])
@@ -221,6 +229,31 @@ def depth_project_batch(
             fx, fv, cp, cn, cv, qq, tt, pp, width, height, model_id, opts, block
         )
     )(feat_xy, feat_valid, cand_pts, cand_nrm, cand_valid, q, t, params)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "model_id", "opts", "block"))
+def depth_project_shared(
+    feat_xy,  # [B,F,2]
+    feat_valid,  # [B,F]
+    map_pts,  # [M,3] — the FULL map, resident on device, shared across views
+    map_nrm,  # [M,3]
+    map_valid,  # [M]
+    q,  # [B,4]
+    t,  # [B,3]
+    params,  # [B,12]
+    width, height, model_id, opts: ProjOptions, block: int = 8192,
+):
+    """depth_project vmapped over views with ONE shared candidate set: the
+    whole map. The projection itself culls (in-image, z in
+    [min_lidar_proj_dist, choose_meter]), so host-side frustum gathering —
+    and the [B,M] candidate-index upload it forces through the tunnel every
+    local-BA round — disappears entirely; the map streams from HBM."""
+    return jax.vmap(
+        lambda fx, fv, qq, tt, pp: depth_project(
+            fx, fv, map_pts, map_nrm, map_valid, qq, tt, pp,
+            width, height, model_id, opts, block
+        )
+    )(feat_xy, feat_valid, q, t, params)
 
 
 @functools.partial(jax.jit, static_argnames=("block",))

@@ -86,18 +86,24 @@ class PnPResult(NamedTuple):
     num_inliers: Array
 
 
-@functools.partial(jax.jit, static_argnames=("opts",))
+@functools.partial(jax.jit, static_argnames=("opts", "refine_iters"))
 def ransac_pnp(
     uv: Array,  # [N,2] normalized camera coords
     X: Array,  # [N,3]
     valid: Array,  # [N]
     key: Array,
     opts: RansacOptions = RansacOptions(),
+    refine_iters: int = 0,
+    max_error=None,  # traced scalar override of opts.max_error — per-camera
+    # focal-scaled thresholds must NOT be part of the jit key (each distinct
+    # float would be its own multi-minute tunnel compile)
 ) -> PnPResult:
     """Absolute pose from 2D-3D matches (EstimateAbsolutePose parity,
-    estimators/pose.cc): P6P-DLT hypotheses + EPnP local optimization.
-    max_error is in normalized-coordinate units (divide pixel threshold by
-    focal length, as the reference does via camera.ImageToWorldThreshold)."""
+    estimators/pose.cc): P6P-DLT hypotheses + EPnP local optimization, plus
+    an optional fused Cauchy-GN pose polish (refine_iters > 0) replacing the
+    separate RefineAbsolutePose dispatch. max_error is in
+    normalized-coordinate units (divide pixel threshold by focal length, as
+    the reference does via camera.ImageToWorldThreshold)."""
     N = uv.shape[0]
     H = opts.num_hypotheses
     idx = _draw_samples(key, valid, H, 6)
@@ -116,7 +122,7 @@ def ransac_pnp(
         return jnp.where(zok, e, 1e12)
 
     errs = jax.vmap(resid)(qs, ts)  # [H,N]
-    thr2 = opts.max_error**2
+    thr2 = (opts.max_error if max_error is None else max_error) ** 2
     n_in, score = _score(errs, valid, thr2)
     best = jnp.argmax(score)
     q_b, t_b = qs[best], ts[best]
@@ -139,6 +145,68 @@ def ransac_pnp(
     )
     e = resid(q_b, t_b)
     mask = (e < thr2) & (valid > 0)
+
+    if refine_iters > 0:
+        # fused pose polish (RefineAbsolutePose, estimators/pose.cc:220-270):
+        # Cauchy-weighted Gauss-Newton on (so3, t) over the inlier set, in the
+        # SAME device program as the RANSAC — the reference runs a separate
+        # Ceres solve; a second dispatch costs a full tunnel round trip here.
+        c2 = thr2 / 9.0  # Cauchy scale = max_error/3, squared
+
+        def gn_step(carry, _):
+            q, t = carry
+            xc = se3.se3_apply(q, t, X)  # [N,3]
+            z = jnp.where(jnp.abs(xc[:, 2]) < 1e-6, 1e-6, xc[:, 2])
+            p = xc[:, :2] / z[:, None]
+            r = p - uv  # [N,2]
+            s = jnp.sum(r * r, axis=-1)
+            w = mask.astype(jnp.float32) / (1.0 + s / c2)  # IRLS Cauchy
+            # dp/dxc [N,2,3]
+            zi = 1.0 / z
+            dp = jnp.stack(
+                [
+                    jnp.stack([zi, jnp.zeros_like(zi), -xc[:, 0] * zi * zi], -1),
+                    jnp.stack([jnp.zeros_like(zi), zi, -xc[:, 1] * zi * zi], -1),
+                ],
+                axis=1,
+            )
+            # dxc/d(w,t): left-perturbation xc' = exp(dw) xc + dt
+            # => dxc/dw = -[xc]x, dxc/dt = I
+            px, py, pz = xc[:, 0], xc[:, 1], xc[:, 2]
+            zr = jnp.zeros_like(px)
+            skew = jnp.stack(
+                [
+                    jnp.stack([zr, -pz, py], -1),
+                    jnp.stack([pz, zr, -px], -1),
+                    jnp.stack([-py, px, zr], -1),
+                ],
+                axis=1,
+            )  # [N,3,3] = [xc]x
+            Jw = -jnp.einsum("nij,njk->nik", dp, skew)  # [N,2,3]
+            J = jnp.concatenate([Jw, dp], axis=-1)  # [N,2,6]
+            JtJ = jnp.einsum("nia,nib,n->ab", J, J, w) + 1e-6 * jnp.eye(6)
+            Jtr = jnp.einsum("nia,ni,n->a", J, r, w)
+            delta = -jnp.linalg.solve(JtJ, Jtr)
+            q_n = se3.quat_mul(se3.so3_exp_quat(delta[:3]), q)
+            q_n = q_n / jnp.maximum(jnp.linalg.norm(q_n), 1e-12)
+            t_n = t + delta[3:]
+            # robust-cost guard: keep the step only if the Cauchy cost drops
+            def cost(qq, tt):
+                xcc = se3.se3_apply(qq, tt, X)
+                zz = jnp.where(jnp.abs(xcc[:, 2]) < 1e-6, 1e-6, xcc[:, 2])
+                rr = xcc[:, :2] / zz[:, None] - uv
+                ss = jnp.sum(rr * rr, axis=-1)
+                rho = c2 * jnp.log1p(ss / c2)
+                return jnp.sum(jnp.where(mask, jnp.where(xcc[:, 2] > 1e-6, rho, c2 * 20.0), 0.0))
+
+            better = cost(q_n, t_n) <= cost(q, t)
+            q = jnp.where(better, q_n, q)
+            t = jnp.where(better, t_n, t)
+            return (q, t), None
+
+        (q_b, t_b), _ = jax.lax.scan(gn_step, (q_b, t_b), None, length=refine_iters)
+        e = resid(q_b, t_b)
+        mask = (e < thr2) & (valid > 0)
     return PnPResult(q_b, t_b, mask, jnp.sum(mask))
 
 

@@ -163,3 +163,65 @@ def test_full_stack_from_pixels_opencv(tmp_path):
     assert rec.num_reg_images >= n_images - 1, rec.num_reg_images
     ate = ate_rmse(rec, gt)
     assert ate < 0.25, f"ATE {ate:.3f} m"
+
+
+def test_retriangulate_under_reconstructed_pair(rng):
+    """Pair-based Retriangulate (incremental_triangulator.cc:350-496): an
+    under-reconstructed pair gets its one-sided correspondences continued and
+    two-sided free matches re-created; the per-pair trial budget caps work."""
+    from synthetic import make_world
+
+    from colmap_pcd_tpu.models.controllers import (
+        ControllerOptions,
+        IncrementalMapperController,
+    )
+    from colmap_pcd_tpu.models.incremental_mapper import MapperOptions
+    from colmap_pcd_tpu.models.reconstruction import INVALID_POINT3D
+    from colmap_pcd_tpu.models.triangulator import TriangulatorOptions
+
+    rec, graph, lmap, gt = make_world(np.random.default_rng(11), n_images=6, n_points=400)
+    opts = MapperOptions(
+        if_add_lidar_constraint=True, init_image_id1=1, init_image_id2=2,
+        abs_pose_min_num_inliers=15, init_min_num_inliers=50,
+        num_ransac_hypotheses=1024,
+    )
+    ctl = IncrementalMapperController(
+        rec, graph, opts, ControllerOptions(verbose=False),
+        lidar_map=lmap, pose_priors={1: gt[0]},
+    )
+    assert ctl.reconstruct()
+    tri = ctl.mapper.triangulator
+    topts = TriangulatorOptions()
+
+    # make pair (5, 6) under-reconstructed: drop image 6's side of every
+    # match of that pair
+    m = graph.matches_between(5, 6)
+    assert len(m) > 20
+    img6 = rec.images[6]
+    dropped = 0
+    for f in m[:, 1]:
+        if img6.point3D_ids[int(f)] != INVALID_POINT3D:
+            rec.delete_observation(6, int(f))
+            dropped += 1
+    assert dropped > 10
+    pids1 = rec.images[5].point3D_ids[m[:, 0]]
+    pids2 = img6.point3D_ids[m[:, 1]]
+    tri_before = int(np.sum((pids1 == pids2) & (pids1 != INVALID_POINT3D)))
+    assert tri_before / len(m) < topts.re_min_ratio
+
+    n = tri.retriangulate(topts)
+    assert n > 0
+    pids1 = rec.images[5].point3D_ids[m[:, 0]]
+    pids2 = img6.point3D_ids[m[:, 1]]
+    tri_after = int(np.sum((pids1 == pids2) & (pids1 != INVALID_POINT3D)))
+    assert tri_after > tri_before
+
+    # some pair involving image 6 consumed its trial budget (iteration order
+    # means an earlier pair like (2,6) may recover image 6's observations,
+    # after which later pairs no longer qualify — correct per-pair gating)
+    spent = {k for k in tri.re_num_trials if 6 in k}
+    assert spent
+    trials_before = dict(tri.re_num_trials)
+    tri.retriangulate(topts)
+    for k in spent:
+        assert tri.re_num_trials[k] == trials_before[k]  # budget respected
