@@ -158,48 +158,11 @@ def main():
     os.makedirs(img_dir)
     render_dataset(img_dir, gt, log)
 
-    wall_t0 = time.time()
-    # ---- feature extraction (device SIFT) --------------------------------
-    dbp = os.path.join(tmp, "db.db")
-    t0 = time.time()
-    run_feature_extractor(
-        dbp, img_dir,
-        SiftExtractionConfig(
-            max_num_features=2048, first_octave=0, num_octaves=3, max_image_size=640
-        ),
+    overlapped = os.environ.get("BENCH_OVERLAP", "1") != "0"
+    extract_cfg = SiftExtractionConfig(
+        max_num_features=2048, first_octave=0, num_octaves=3, max_image_size=640
     )
-    extract_s = time.time() - t0
-    log(f"extraction: {n_images} images in {extract_s:.1f}s "
-        f"({n_images/extract_s:.2f} img/s)")
-
-    # ---- matching (MXU) + two-view verification --------------------------
-    t0 = time.time()
-    n_pairs = run_sequential_matcher(
-        dbp, SiftMatchingConfig(min_num_inliers=15), overlap=5, quadratic_overlap=False
-    )
-    match_s = time.time() - t0
-    log(f"matching: {n_pairs} verified pairs in {match_s:.1f}s "
-        f"({n_pairs/max(match_s,1e-9):.2f} pairs/s)")
-
-    # ---- mapper inputs ----------------------------------------------------
-    db = Database(dbp)
-    rec = Reconstruction()
-    rec.add_camera(Camera(1, PINHOLE, W, H, np.asarray([F, F, W / 2, H / 2])))
-    for iid, im in sorted(db.images().items()):
-        kp = db.read_keypoints(iid)
-        rec.add_image(Image(iid, im["name"], 1, xys=kp[:, :2].astype(np.float64)))
-    graph = CorrespondenceGraph()
-    for i, j in db.all_two_view_pair_ids():
-        g = db.read_two_view_geometry(i, j)
-        if g is not None and len(g["inlier_matches"]) >= 15:
-            graph.add_matches(i, j, g["inlier_matches"].astype(np.int32))
-    db.close()
-    map_pts, map_nrm = build_corridor_map(
-        np.random.default_rng(0), length=n_images * step + 25
-    )
-    lmap = LidarMap.from_arrays(map_pts, map_nrm, pc_ops.ProjOptions())
-
-    # ---- incremental mapping ----------------------------------------------
+    match_cfg = SiftMatchingConfig(min_num_inliers=15)
     opts = MapperOptions(
         if_add_lidar_constraint=True,
         init_image_id1=1, init_image_id2=2,
@@ -209,9 +172,59 @@ def main():
         num_ransac_hypotheses=2048,
         filter_max_reproj_error=6.0,
     )
+
+    wall_t0 = time.time()
+    dbp = os.path.join(tmp, "db.db")
+    feed = None
+    if overlapped:
+        # ---- overlapped: extraction + matching + mapping concurrently ----
+        from colmap_pcd_tpu.models.overlap import run_overlapped_frontend
+
+        feed, t_extract, t_match = run_overlapped_frontend(
+            dbp, img_dir, extract_cfg, match_cfg, overlap=5, quadratic_overlap=False
+        )
+        rec = Reconstruction()
+        rec.add_camera(Camera(1, PINHOLE, W, H, np.asarray([F, F, W / 2, H / 2])))
+        graph = CorrespondenceGraph()
+        # lidar map builds while extraction streams
+        map_pts, map_nrm = build_corridor_map(
+            np.random.default_rng(0), length=n_images * step + 25
+        )
+        lmap = LidarMap.from_arrays(map_pts, map_nrm, pc_ops.ProjOptions())
+    else:
+        t0 = time.time()
+        run_feature_extractor(dbp, img_dir, extract_cfg)
+        extract_s = time.time() - t0
+        log(f"extraction: {n_images} images in {extract_s:.1f}s "
+            f"({n_images/extract_s:.2f} img/s)")
+        t0 = time.time()
+        n_pairs = run_sequential_matcher(
+            dbp, match_cfg, overlap=5, quadratic_overlap=False
+        )
+        match_s = time.time() - t0
+        log(f"matching: {n_pairs} verified pairs in {match_s:.1f}s "
+            f"({n_pairs/max(match_s,1e-9):.2f} pairs/s)")
+        db = Database(dbp)
+        rec = Reconstruction()
+        rec.add_camera(Camera(1, PINHOLE, W, H, np.asarray([F, F, W / 2, H / 2])))
+        for iid, im in sorted(db.images().items()):
+            kp = db.read_keypoints(iid)
+            rec.add_image(Image(iid, im["name"], 1, xys=kp[:, :2].astype(np.float64)))
+        graph = CorrespondenceGraph()
+        for i, j in db.all_two_view_pair_ids():
+            g = db.read_two_view_geometry(i, j)
+            if g is not None and len(g["inlier_matches"]) >= 15:
+                graph.add_matches(i, j, g["inlier_matches"].astype(np.int32))
+        db.close()
+        map_pts, map_nrm = build_corridor_map(
+            np.random.default_rng(0), length=n_images * step + 25
+        )
+        lmap = LidarMap.from_arrays(map_pts, map_nrm, pc_ops.ProjOptions())
+
+    # ---- incremental mapping ----------------------------------------------
     ctl = IncrementalMapperController(
-        rec, graph, opts, ControllerOptions(verbose=verbose),
-        lidar_map=lmap, pose_priors={1: gt[0]},
+        rec, graph, opts, ControllerOptions(verbose=verbose, image_path=img_dir),
+        lidar_map=lmap, pose_priors={1: gt[0]}, pair_feed=feed,
     )
     reg_times = []  # (num_reg_images, wall time since mapping start)
     map_t0 = [0.0]
@@ -224,6 +237,16 @@ def main():
     ok = ctl.reconstruct()
     map_s = time.time() - map_t0[0]
     wall_all = time.time() - wall_t0
+    if overlapped:
+        t_extract.join(timeout=60)
+        t_match.join(timeout=60)
+        extract_s = feed.extract_s or 1e-9
+        match_s = feed.match_s or 1e-9
+        n_pairs = feed.n_pairs_verified
+        log(f"extraction thread: {n_images} images in {extract_s:.1f}s "
+            f"({n_images/extract_s:.2f} img/s, overlapped)")
+        log(f"matching thread: {n_pairs} verified pairs in {match_s:.1f}s "
+            f"(overlapped with extraction + mapping)")
     ate = ate_rmse(rec, gt) if ok else float("inf")
     log(f"mapping: {rec.num_reg_images}/{n_images} images in {map_s:.1f}s, "
         f"ATE {ate*1000:.1f} mm")

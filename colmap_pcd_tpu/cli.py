@@ -482,8 +482,12 @@ def cmd_rig_bundle_adjuster(argv):
 
 
 def cmd_model_converter(argv):
+    """BIN/TXT/PLY/NVM/BUNDLER/CAM/VRML export, NVM import (RunModelConverter,
+    exe/model.cc:560-612 output_type dispatch). An `--input_path *.nvm` file
+    imports VisualSFM models."""
     input_path = output_path = None
     output_type = "BIN"
+    skip_distortion = False
     it = iter(argv)
     for a in it:
         if a == "--input_path":
@@ -492,16 +496,35 @@ def cmd_model_converter(argv):
             output_path = next(it)
         elif a == "--output_type":
             output_type = next(it).upper()
-    from .io import ply as ply_io
+        elif a == "--skip_distortion":
+            skip_distortion = next(it) not in ("0", "false", "False")
+    from .io import model_formats, ply as ply_io
     from .models.reconstruction import Reconstruction
 
-    rec = Reconstruction.read(input_path)
+    if input_path.lower().endswith(".nvm"):
+        rec = model_formats.import_nvm(input_path)
+    else:
+        rec = Reconstruction.read(input_path)
     if output_type in ("BIN", "TXT"):
         rec.write(output_path, binary=output_type == "BIN")
     elif output_type == "PLY":
         pts = np.stack([p.xyz for p in rec.points3D.values()]) if rec.points3D else np.zeros((0, 3))
         cols = np.stack([p.color for p in rec.points3D.values()]) if rec.points3D else np.zeros((0, 3), np.uint8)
         ply_io.write_ply(output_path, pts, colors=cols)
+    elif output_type == "NVM":
+        if not model_formats.export_nvm(rec, output_path, skip_distortion):
+            return 1
+    elif output_type == "BUNDLER":
+        if not model_formats.export_bundler(
+            rec, output_path + ".bundle.out", output_path + ".list.txt", skip_distortion
+        ):
+            return 1
+    elif output_type == "CAM":
+        if not model_formats.export_cam(rec, output_path, skip_distortion):
+            return 1
+    elif output_type == "VRML":
+        base = output_path.rsplit(".", 1)[0]
+        model_formats.export_vrml(rec, base + ".images.wrl", base + ".points3D.wrl")
     else:
         print(f"unsupported output_type {output_type}")
         return 1

@@ -79,6 +79,7 @@ class IncrementalMapperController:
         controller_options: ControllerOptions = None,
         lidar_map: LidarMap | None = None,
         pose_priors=None,
+        pair_feed=None,
     ):
         self.rec = rec
         self.base_rec = rec  # pristine dataset skeleton for multi-model trials
@@ -88,6 +89,9 @@ class IncrementalMapperController:
         self.mapper = IncrementalMapper(rec, graph, lidar_map, pose_priors)
         self.state = MapperState()
         self.callbacks = []  # called after each registration
+        # overlapped frontend (models/overlap.py): verified pairs and images
+        # stream in WHILE mapping runs; drained at the loop top
+        self.pair_feed = pair_feed
 
     def _log(self, msg: str):
         if self.copts.verbose:
@@ -207,6 +211,38 @@ class IncrementalMapperController:
             or len(self.rec.points3D) >= self.copts.ba_global_points_freq + s.num_pts_last_global_ba
         )
 
+    def drain_feed(self) -> int:
+        """Pull newly extracted images + verified pairs from the overlapped
+        frontend into the live reconstruction/graph (models/overlap.py).
+        Returns the number of new pairs ingested."""
+        if self.pair_feed is None:
+            return 0
+        from .reconstruction import Image as RecImage
+
+        imgs, cams, pairs = self.pair_feed.drain()
+        for cid, c in cams.items():
+            if cid not in self.rec.cameras:
+                from .reconstruction import Camera
+
+                self.rec.add_camera(
+                    Camera(cid, c["model_id"], c["width"], c["height"], c["params"],
+                           prior_focal=bool(c.get("prior_focal", False)))
+                )
+        for iid, name, cam_id, xys in imgs:
+            if iid not in self.rec.images:
+                self.rec.add_image(
+                    RecImage(iid, name, cam_id, xys=np.asarray(xys, np.float64))
+                )
+                self.graph.add_image(iid, len(xys))
+        n = 0
+        for i, j, m in pairs:
+            if len(m) >= self.copts.min_num_matches:
+                self.graph.add_matches(i, j, m)
+                # replay late matches into the next-image ranking
+                self.mapper.visibility.on_matches_added(i, j, m)
+                n += 1
+        return n
+
     def _incremental_loop(self):
         """The per-image registration hot loop with the last-rescue global
         refinement and the multi-model overlap break
@@ -219,8 +255,14 @@ class IncrementalMapperController:
         reg_next_success, prev_reg_next_success = True, True
         while reg_next_success:
             reg_next_success = False
+            self.drain_feed()
             next_images = self.mapper.find_next_images(opts)
             if not next_images:
+                # the frontend may still be producing registrable images
+                if self.pair_feed is not None and not self.pair_feed.done:
+                    time.sleep(0.2)
+                    reg_next_success = True
+                    continue
                 break
             for reg_trial, image_id in enumerate(next_images):
                 self._log(
@@ -290,9 +332,31 @@ class IncrementalMapperController:
             f"mean track {self.rec.mean_track_length():.2f}"
         )
 
+    def _wait_for_init_feed(self, timeout: float = 900.0):
+        """Overlapped frontend: block until the init pair (or a workable set
+        of matched images) has streamed in before attempting initialization."""
+        id1, id2 = self.opts.init_image_id1, self.opts.init_image_id2
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            self.drain_feed()
+            if id2 > 0:
+                ready = (
+                    id1 in self.rec.images and id2 in self.rec.images
+                    and len(self.graph.matches_between(id1, id2)) >= self.copts.min_num_matches
+                )
+            else:
+                ready = len(self.rec.images) >= 8 and any(
+                    True for _ in self.graph.image_pairs()
+                )
+            if ready or self.pair_feed.done:
+                return
+            time.sleep(0.2)
+
     def reconstruct(self) -> bool:
         """Single-model main loop (Reconstruct,
         controllers/incremental_mapper.cc:591) on the controller's own rec."""
+        if self.pair_feed is not None:
+            self._wait_for_init_feed()
         if self.rec.num_reg_images == 0 and not self.initialize():
             return False
         self._incremental_loop()

@@ -66,7 +66,13 @@ class Database:
     def __init__(self, path: str):
         # check_same_thread=False: the extraction pipeline writes from a single
         # dedicated writer thread (threading_utils.pipeline_map), never two at once
-        self.conn = sqlite3.connect(path, check_same_thread=False)
+        self.conn = sqlite3.connect(path, check_same_thread=False, timeout=30.0)
+        # WAL lets the overlapped pipeline read (matcher/mapper threads, their
+        # own connections) while the extractor writes
+        try:
+            self.conn.execute("PRAGMA journal_mode=WAL")
+        except sqlite3.OperationalError:
+            pass  # e.g. read-only or network filesystem
         self.conn.executescript(_SCHEMA)
         self.conn.commit()
 

@@ -110,6 +110,35 @@ class VisibilityIndex:
                     v.num_visible -= 1
                     v.reset_point(cfeat)
 
+    def on_matches_added(self, image_id1: int, image_id2: int, matches: np.ndarray):
+        """Replay for matches added AFTER points were triangulated (the
+        overlapped pipeline feeds verified pairs into the graph while mapping
+        runs): each side whose feature is already triangulated bumps the
+        OTHER side's counters, exactly as on_observation would have at
+        triangulation time had the match existed then."""
+        from .reconstruction import INVALID_POINT3D
+
+        m = np.asarray(matches)
+        if m.size == 0:
+            return
+        for (a, b, fa_col, fb_col) in (
+            (image_id1, image_id2, 0, 1),
+            (image_id2, image_id1, 1, 0),
+        ):
+            img_a = self.rec.images.get(a)
+            if img_a is None or b not in self.rec.images:
+                continue
+            tri = img_a.point3D_ids[m[:, fa_col]] != INVALID_POINT3D
+            if not tri.any():
+                continue
+            v = self._vis_of(b)
+            for f in m[tri, fb_col]:
+                f = int(f)
+                v.corr_tri_count[f] += 1
+                if v.corr_tri_count[f] == 1:
+                    v.num_visible += 1
+                    v.set_point(f)
+
     # queries ---------------------------------------------------------------
     def num_visible_points3D(self, image_id: int) -> int:
         v = self._vis.get(image_id)
