@@ -89,6 +89,17 @@ class BAConfig(NamedTuple):
     # the variable cameras into the first blocks: the Schur system then
     # scales with the VARIABLE count, not the scene's total camera count.
     num_pose_blocks: int = 0
+    # camera-side solver for the reduced (Schur) system. "dense": assemble
+    # S and Cholesky-factor it. "pcg": matrix-free preconditioned conjugate
+    # gradients on the Schur complement with a block-Jacobi (SCHUR_JACOBI)
+    # preconditioner — never forms S, memory O(blocks) instead of O(blocks^2).
+    # "auto" escalates dense -> pcg above dense_max_pose_blocks variable
+    # blocks, mirroring the reference's DENSE_SCHUR -> ITERATIVE_SCHUR +
+    # SCHUR_JACOBI ladder at >1000 images (bundle_adjustment.cc:499-512).
+    camera_solver: str = "auto"
+    dense_max_pose_blocks: int = 1024
+    pcg_max_iterations: int = 100
+    pcg_rtol: float = 1e-6
 
 
 class BAProblem(NamedTuple):
@@ -405,62 +416,12 @@ def _gn_system(problem: BAProblem, cfg: BAConfig, cam_q, cam_t, intr, points, la
         Jp3 = Jp
         roles = 1
 
-    # H_cam diagonal blocks and gradient (note: off-diagonal pose<->intr terms
-    # of the SAME observation are part of the camera-side Hessian too).
-    S = jnp.zeros((D, D), jnp.float32)
-    b = jnp.zeros((D,), jnp.float32)
-
-    i6 = jnp.arange(6)
-    # Assembly strategy: XLA scatter-with-duplicates compiles (and runs) as a
-    # serialized sort pass — poison for both compile time and MXU utilization.
-    # When the number of block pairs nb^2 is small (local BA: nb<=16 -> 256),
-    # accumulate via a one-hot segment matmul instead: [M, nb^2]^T @ [M, 36]
-    # is pure MXU work with zero scatters. Large global problems keep scatter.
-    use_onehot = nb * nb <= 4096
-
-    def scatter_block(S, rows_blk, cols_blk, vals):
-        """Accumulate [M,6,6] blocks at block coords (rows_blk, cols_blk)."""
-        M = vals.shape[0]
-        if use_onehot:
-            flat = rows_blk * nb + cols_blk  # [M]
-            onehot = jax.nn.one_hot(flat, nb * nb, dtype=vals.dtype)  # [M, nb^2]
-            acc = jnp.einsum("mk,mij->kij", onehot, vals, precision=_HI)  # [nb^2,6,6]
-            acc = acc.reshape(nb, nb, 6, 6).transpose(0, 2, 1, 3).reshape(D, D)
-            return S + acc
-        ridx = rows_blk[:, None, None] * 6 + i6[None, :, None]
-        cidx = cols_blk[:, None, None] * 6 + i6[None, None, :]
-        return S.at[ridx, cidx].add(vals)
-
-    def scatter_rhs(b, blk_ids, vals6):
-        """Accumulate [M,6] row vectors at 6-block ids."""
-        if use_onehot:
-            onehot = jax.nn.one_hot(blk_ids, nb, dtype=vals6.dtype)  # [M, nb]
-            return b + jnp.einsum("mk,mi->ki", onehot, vals6, precision=_HI).reshape(D)
-        return b.at[blk_ids[:, None] * 6 + i6[None, :]].add(vals6)
-
-    # camera-side JtJ: for each obs, roles x roles block outer products.
-    if cfg.refine_intrinsics:
-        Jroles = jnp.stack([Jc, Jk0, Jk1], axis=1)  # [N,3,2,6]
-        blks = jnp.stack([obs_pose_blk, obs_intr_blk0, obs_intr_blk1], axis=1)  # [N,3]
-        JtJ = jnp.einsum("nari,nbrj->nabij", Jroles, Jroles, precision=_HI)  # [N,3,3,6,6]
-        M = N * roles * roles
-        S = scatter_block(
-            S,
-            jnp.repeat(blks, roles, axis=1).reshape(M),
-            jnp.tile(blks, (1, roles)).reshape(M),
-            JtJ.reshape(M, 6, 6),
-        )
-    else:
-        JtJ = jnp.einsum("nri,nrj->nij", Jc, Jc, precision=_HI)
-        S = scatter_block(S, blk, blk, JtJ)
-
-    Jtr = jnp.einsum("mri,mr->mi", Jcam, r3, precision=_HI)  # [3N or N, 6]
-    b = scatter_rhs(b, blk, -Jtr)
-
     # coupling W per camera-side entry: W_m = Jcam_m^T Jp_m  [6,3]
     W = jnp.einsum("mri,mrj->mij", Jcam, Jp3, precision=_HI)  # [M_ent,6,3]
 
-    # ---- Schur reduction, chunked over points ------------------------------
+    i6 = jnp.arange(6)
+
+    # ---- Schur reduction chunk tables (shared by dense & PCG paths) --------
     # pt_obs indexes into obs arrays [N]; for each role we know the entry
     # index is role*N + obs_idx. Build per-point entry tables [P, T*roles].
     pt_obs = problem.pt_obs  # [P,T], -1 padded
@@ -479,65 +440,245 @@ def _gn_system(problem: BAProblem, cfg: BAConfig, cam_q, cam_t, intr, points, la
         safe_obs_c, valid_e_c, Hpp_inv_c, b_p_c = safe_obs, valid_e, Hpp_inv, b_p
     nchunks = Ppad // csize
 
-    def chunk_body(carry, pstart):
-        S, b = carry
-        sl = jax.lax.dynamic_slice_in_dim(safe_obs_c, pstart, csize, axis=0)  # [c,T]
-        vm = jax.lax.dynamic_slice_in_dim(valid_e_c, pstart, csize, axis=0)  # [c,T]
+    def ent_tables(pstart):
+        """Per-chunk gathered entry tables: Wg [c,Tn,6,3] (validity-masked),
+        blkg [c,Tn], Hinv [c,3,3], bp [c,3]."""
+        sl = jax.lax.dynamic_slice_in_dim(safe_obs_c, pstart, csize, axis=0)
+        vm = jax.lax.dynamic_slice_in_dim(valid_e_c, pstart, csize, axis=0)
         Hinv = jax.lax.dynamic_slice_in_dim(Hpp_inv_c, pstart, csize, axis=0)
         bp = jax.lax.dynamic_slice_in_dim(b_p_c, pstart, csize, axis=0)
-
         if cfg.refine_intrinsics:
             ent = jnp.concatenate([sl, sl + N, sl + 2 * N], axis=1)  # [c, T*3]
             ventry = jnp.concatenate([vm, vm, vm], axis=1)
         else:
             ent = sl
             ventry = vm
-        Tn = ent.shape[1]
         Wg = W[ent] * ventry[..., None, None]  # [c,Tn,6,3]
         blkg = blk[ent]  # [c,Tn]
+        return Wg, blkg, Hinv, bp
 
-        # Y_a = W_a Hinv  [c,Tn,6,3]; pair products Y_a W_b^T [c,Tn,Tn,6,6]
-        Y = jnp.einsum("ctij,cjk->ctik", Wg, Hinv, precision=_HI)
-        pair = jnp.einsum("ctik,cukl->ctuil", Y, jnp.swapaxes(Wg, -1, -2), precision=_HI)
-        M = csize * Tn * Tn
-        rows = jnp.repeat(blkg, Tn, axis=1).reshape(M)
-        cols = jnp.tile(blkg, (1, Tn)).reshape(M)
-        S = scatter_block(S, rows, cols, -pair.reshape(M, 6, 6))
-
-        # rhs reduction: b -= Y_a b_p
-        yb = jnp.einsum("ctik,ck->cti", Y, bp, precision=_HI).reshape(csize * Tn, 6)
-        b = scatter_rhs(b, blkg.reshape(-1), -yb)
-        return (S, b), None
-
-    (S, b), _ = jax.lax.scan(
-        chunk_body, (S, b), jnp.arange(nchunks) * csize
+    # solver-tier selection (static, from problem shapes): dense Cholesky for
+    # windowed/small systems, matrix-free PCG above the block threshold
+    # (the reference's DENSE_SCHUR -> ITERATIVE_SCHUR + SCHUR_JACOBI ladder,
+    # bundle_adjustment.cc:499-512).
+    use_pcg = cfg.camera_solver == "pcg" or (
+        cfg.camera_solver == "auto" and nb > cfg.dense_max_pose_blocks
     )
 
-    # ---- multi-chip reduction ---------------------------------------------
-    # each shard owns a disjoint set of points (and their observations); the
-    # reduced camera system is the sum of per-shard contributions over ICI.
-    if psum_axis is not None:
-        S = jax.lax.psum(S, psum_axis)
-        b = jax.lax.psum(b, psum_axis)
+    if use_pcg:
+        # ---- ITERATIVE_SCHUR: preconditioned CG on S x = b without forming
+        # S. Each matvec applies B (camera-side JtJ incl. cross-role
+        # pose<->intr coupling) per observation and the W Hpp^-1 W^T term per
+        # point chunk; memory is O(blocks + obs), never O(blocks^2).
+        Jtr = jnp.einsum("mri,mr->mi", Jcam, r3, precision=_HI)  # [M,6]
+        grad = jnp.zeros((nb, 6), jnp.float32).at[blk].add(-Jtr)
 
-    # ---- damping + gauge/padding regularization ---------------------------
-    diagS = jnp.diagonal(S)
-    S = S + jnp.diag(lam * diagS + 1e-8)
-    # unit diagonal where a block has no residuals (padding slots, fixed poses)
-    dead = (jnp.abs(diagS) < 1e-10).astype(jnp.float32)
-    S = S + jnp.diag(dead)
+        # block-diagonal of B for the SCHUR_JACOBI preconditioner (same-entry
+        # terms only; cross-entry same-block couplings — e.g. two obs sharing
+        # an intrinsics slot — stay exact in the matvec, merely absent here)
+        JtJ_aa = jnp.einsum("mri,mrj->mij", Jcam, Jcam, precision=_HI)
+        Bblk = jnp.zeros((nb, 6, 6), jnp.float32).at[blk].add(JtJ_aa)
 
-    # Jacobi scaling for f32 conditioning
-    dscale = 1.0 / jnp.sqrt(jnp.maximum(jnp.diagonal(S), 1e-12))
-    Ss = S * dscale[:, None] * dscale[None, :]
-    bs = b * dscale
-    L, low = jax.scipy.linalg.cho_factor(Ss, lower=True)
-    dxs = jax.scipy.linalg.cho_solve((L, low), bs)
-    dx_cam = (dxs * dscale).reshape(nb, 6)
+        def chunk_rhs(carry, pstart):
+            grad, Sblk = carry
+            Wg, blkg, Hinv, bp = ent_tables(pstart)
+            Y = jnp.einsum("ctij,cjk->ctik", Wg, Hinv, precision=_HI)
+            yb = jnp.einsum("ctik,ck->cti", Y, bp, precision=_HI)
+            grad = grad.at[blkg.reshape(-1)].add(-yb.reshape(-1, 6))
+            # per-entry Schur diagonal contribution Y_e W_e^T
+            see = jnp.einsum("ctik,ctjk->ctij", Y, Wg, precision=_HI)
+            Sblk = Sblk.at[blkg.reshape(-1)].add(see.reshape(-1, 6, 6))
+            return (grad, Sblk), None
 
-    # guard against a failed factorization (non-SPD → nans): zero the step
-    ok = jnp.all(jnp.isfinite(dx_cam))
-    dx_cam = jnp.where(ok, dx_cam, 0.0)
+        (grad, Sblk), _ = jax.lax.scan(
+            chunk_rhs,
+            (grad, jnp.zeros((nb, 6, 6), jnp.float32)),
+            jnp.arange(nchunks) * csize,
+        )
+        # ---- multi-chip reduction: shards own disjoint point sets; the
+        # gradient and preconditioner blocks sum over ICI.
+        if psum_axis is not None:
+            grad = jax.lax.psum(grad, psum_axis)
+            Bblk = jax.lax.psum(Bblk, psum_axis)
+            Sblk = jax.lax.psum(Sblk, psum_axis)
+
+        diagB = jnp.diagonal(Bblk, axis1=-2, axis2=-1)  # [nb,6]
+        dead = (jnp.abs(diagB) < 1e-10).astype(jnp.float32)
+        # LM damping applied to diag(B) (Ceres damps H before elimination)
+        lamdiag = lam * diagB + 1e-8 + dead  # [nb,6]
+
+        Pblkd = Bblk - Sblk + jax.vmap(jnp.diag)(lamdiag)
+        # eigen-floor: the approximated block diagonal can lose SPD-ness
+        evals, evecs = jnp.linalg.eigh(Pblkd)
+        floor = jnp.maximum(evals[..., -1:] * 1e-7, 1e-10)
+        inv_e = 1.0 / jnp.maximum(evals, floor)
+        Pinv = jnp.einsum("bik,bk,bjk->bij", evecs, inv_e, evecs)
+
+        def matvec(x):  # x [nb,6]
+            xg = x[blk]  # [M,6]
+            s = jnp.einsum("mri,mi->mr", Jcam, xg, precision=_HI)  # [M,r]
+            # cross-role coupling: sum residual-space contributions per obs
+            s_obs = s.reshape(roles, N, -1).sum(axis=0)
+            y = jnp.einsum(
+                "mri,mr->mi", Jcam, jnp.tile(s_obs, (roles, 1)), precision=_HI
+            )
+            out = jnp.zeros((nb, 6), jnp.float32).at[blk].add(y)
+
+            def chunk_mv(acc, pstart):
+                Wg, blkg, Hinv, _bp = ent_tables(pstart)
+                xg2 = x[blkg]  # [c,Tn,6]
+                u = jnp.einsum("ctij,cti->cj", Wg, xg2, precision=_HI)
+                v = jnp.einsum("cij,cj->ci", Hinv, u, precision=_HI)
+                ye = jnp.einsum("ctij,cj->cti", Wg, v, precision=_HI)
+                return acc.at[blkg.reshape(-1)].add(-ye.reshape(-1, 6)), None
+
+            out, _ = jax.lax.scan(
+                chunk_mv, out, jnp.arange(nchunks) * csize
+            )
+            if psum_axis is not None:
+                out = jax.lax.psum(out, psum_axis)
+            return out + lamdiag * x
+
+        def precond(r):
+            return jnp.einsum("bij,bj->bi", Pinv, r)
+
+        bnorm2 = jnp.sum(grad * grad)
+        z0 = precond(grad)
+
+        def cg_cond(st):
+            _x, r, _p, _rz, it = st
+            return (it < cfg.pcg_max_iterations) & (
+                jnp.sum(r * r) > cfg.pcg_rtol**2 * bnorm2
+            )
+
+        def cg_body(st):
+            x, r, p, rz, it = st
+            Ap = matvec(p)
+            alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-30)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = precond(r)
+            rz2 = jnp.sum(r * z)
+            p = z + (rz2 / jnp.maximum(rz, 1e-30)) * p
+            return x, r, p, rz2, it + 1
+
+        dx_cam, *_ = jax.lax.while_loop(
+            cg_cond,
+            cg_body,
+            (
+                jnp.zeros_like(grad),
+                grad,
+                z0,
+                jnp.sum(grad * z0),
+                jnp.asarray(0, jnp.int32),
+            ),
+        )
+        ok = jnp.all(jnp.isfinite(dx_cam))
+        dx_cam = jnp.where(ok, dx_cam, 0.0)
+    else:
+        # ---- DENSE_SCHUR: assemble S and Cholesky-factor it ----------------
+        # H_cam diagonal blocks and gradient (note: off-diagonal pose<->intr
+        # terms of the SAME observation are part of the camera-side Hessian).
+        S = jnp.zeros((D, D), jnp.float32)
+        b = jnp.zeros((D,), jnp.float32)
+
+        # Assembly strategy: XLA scatter-with-duplicates compiles (and runs)
+        # as a serialized sort pass — poison for both compile time and MXU
+        # utilization. When the number of block pairs nb^2 is small (local
+        # BA: nb<=16 -> 256), accumulate via a one-hot segment matmul
+        # instead: [M, nb^2]^T @ [M, 36] is pure MXU work with zero scatters.
+        # Large global problems keep scatter.
+        use_onehot = nb * nb <= 4096
+
+        def scatter_block(S, rows_blk, cols_blk, vals):
+            """Accumulate [M,6,6] blocks at block coords (rows_blk, cols_blk)."""
+            M = vals.shape[0]
+            if use_onehot:
+                flat = rows_blk * nb + cols_blk  # [M]
+                onehot = jax.nn.one_hot(flat, nb * nb, dtype=vals.dtype)  # [M, nb^2]
+                acc = jnp.einsum("mk,mij->kij", onehot, vals, precision=_HI)
+                acc = acc.reshape(nb, nb, 6, 6).transpose(0, 2, 1, 3).reshape(D, D)
+                return S + acc
+            ridx = rows_blk[:, None, None] * 6 + i6[None, :, None]
+            cidx = cols_blk[:, None, None] * 6 + i6[None, None, :]
+            return S.at[ridx, cidx].add(vals)
+
+        def scatter_rhs(b, blk_ids, vals6):
+            """Accumulate [M,6] row vectors at 6-block ids."""
+            if use_onehot:
+                onehot = jax.nn.one_hot(blk_ids, nb, dtype=vals6.dtype)  # [M, nb]
+                return b + jnp.einsum(
+                    "mk,mi->ki", onehot, vals6, precision=_HI
+                ).reshape(D)
+            return b.at[blk_ids[:, None] * 6 + i6[None, :]].add(vals6)
+
+        # camera-side JtJ: for each obs, roles x roles block outer products.
+        if cfg.refine_intrinsics:
+            Jroles = jnp.stack([Jc, Jk0, Jk1], axis=1)  # [N,3,2,6]
+            blks = jnp.stack([obs_pose_blk, obs_intr_blk0, obs_intr_blk1], axis=1)
+            JtJ = jnp.einsum("nari,nbrj->nabij", Jroles, Jroles, precision=_HI)
+            M = N * roles * roles
+            S = scatter_block(
+                S,
+                jnp.repeat(blks, roles, axis=1).reshape(M),
+                jnp.tile(blks, (1, roles)).reshape(M),
+                JtJ.reshape(M, 6, 6),
+            )
+        else:
+            JtJ = jnp.einsum("nri,nrj->nij", Jc, Jc, precision=_HI)
+            S = scatter_block(S, blk, blk, JtJ)
+
+        Jtr = jnp.einsum("mri,mr->mi", Jcam, r3, precision=_HI)  # [3N or N, 6]
+        b = scatter_rhs(b, blk, -Jtr)
+
+        def chunk_body(carry, pstart):
+            S, b = carry
+            Wg, blkg, Hinv, bp = ent_tables(pstart)
+            Tn = Wg.shape[1]
+            # Y_a = W_a Hinv [c,Tn,6,3]; pair products Y_a W_b^T [c,Tn,Tn,6,6]
+            Y = jnp.einsum("ctij,cjk->ctik", Wg, Hinv, precision=_HI)
+            pair = jnp.einsum(
+                "ctik,cukl->ctuil", Y, jnp.swapaxes(Wg, -1, -2), precision=_HI
+            )
+            M = csize * Tn * Tn
+            rows = jnp.repeat(blkg, Tn, axis=1).reshape(M)
+            cols = jnp.tile(blkg, (1, Tn)).reshape(M)
+            S = scatter_block(S, rows, cols, -pair.reshape(M, 6, 6))
+
+            # rhs reduction: b -= Y_a b_p
+            yb = jnp.einsum("ctik,ck->cti", Y, bp, precision=_HI).reshape(
+                csize * Tn, 6
+            )
+            b = scatter_rhs(b, blkg.reshape(-1), -yb)
+            return (S, b), None
+
+        (S, b), _ = jax.lax.scan(chunk_body, (S, b), jnp.arange(nchunks) * csize)
+
+        # ---- multi-chip reduction ------------------------------------------
+        # each shard owns a disjoint set of points (and their observations);
+        # the reduced camera system is the sum of per-shard contributions.
+        if psum_axis is not None:
+            S = jax.lax.psum(S, psum_axis)
+            b = jax.lax.psum(b, psum_axis)
+
+        # ---- damping + gauge/padding regularization ------------------------
+        diagS = jnp.diagonal(S)
+        S = S + jnp.diag(lam * diagS + 1e-8)
+        # unit diagonal where a block has no residuals (padding, fixed poses)
+        dead = (jnp.abs(diagS) < 1e-10).astype(jnp.float32)
+        S = S + jnp.diag(dead)
+
+        # Jacobi scaling for f32 conditioning
+        dscale = 1.0 / jnp.sqrt(jnp.maximum(jnp.diagonal(S), 1e-12))
+        Ss = S * dscale[:, None] * dscale[None, :]
+        bs = b * dscale
+        L, low = jax.scipy.linalg.cho_factor(Ss, lower=True)
+        dxs = jax.scipy.linalg.cho_solve((L, low), bs)
+        dx_cam = (dxs * dscale).reshape(nb, 6)
+
+        # guard against a failed factorization (non-SPD → nans): zero the step
+        ok = jnp.all(jnp.isfinite(dx_cam))
+        dx_cam = jnp.where(ok, dx_cam, 0.0)
 
     # ---- back-substitute points -------------------------------------------
     # dx_p = Hinv (b_p - sum_entries W_e^T dx_cam[blk_e])
