@@ -38,6 +38,11 @@ def _best2(sim: Array, valid2: Array) -> tuple[Array, Array, Array]:
     """Top-2 similarities along axis 1 with invalid columns masked."""
     sim = jnp.where(valid2[None, :] > 0, sim, -2.0)
     top2, idx2 = jax.lax.top_k(sim, 2)
+    # barrier before slicing: XLA fuses column slices INTO the top-k/sort and
+    # re-derives it per consumer — measured 35x slower on an [N,N] bank
+    # (0.26 s vs 7 ms per 1024x1024 pair on CPU). The barrier materializes
+    # the top-k once; the slices then read the buffer.
+    top2, idx2 = jax.lax.optimization_barrier((top2, idx2))
     return top2[:, 0], top2[:, 1], idx2[:, 0]
 
 

@@ -109,16 +109,12 @@ def shard_problem(problem: ba_ops.BAProblem, n_shards: int) -> ba_ops.BAProblem:
     )
 
 
-def solve_distributed(
-    problem: ba_ops.BAProblem,
-    cfg: ba_ops.BAConfig,
-    mesh: jax.sharding.Mesh,
-    axis: str = "work",
-) -> ba_ops.BAResult:
-    """Solve a (host-side) BAProblem across all devices of the mesh."""
-    n = mesh.devices.size
-    sp = shard_problem(problem, n)
-
+@functools.lru_cache(maxsize=16)
+def _dist_runner(mesh: jax.sharding.Mesh, axis: str, cfg: ba_ops.BAConfig):
+    """Memoized jitted shard_map runner: keyed on (mesh, axis, cfg) so
+    repeated solves reuse the compiled program instead of re-tracing a fresh
+    closure per call (jax.jit caches per wrapper object — per-shape caching
+    only works if the wrapper itself survives between calls)."""
     specs = ba_ops.BAProblem(
         cam_blk=P(), cam_q=P(), cam_t=P(), cam_k=P(), intr=P(), cam_model=P(),
         points=P(axis),
@@ -146,7 +142,19 @@ def solve_distributed(
         )
         return ba_ops.solve_inner(local, cfg, psum_axis=axis)
 
-    res = jax.jit(run)(sp)
+    return jax.jit(run)
+
+
+def solve_distributed(
+    problem: ba_ops.BAProblem,
+    cfg: ba_ops.BAConfig,
+    mesh: jax.sharding.Mesh,
+    axis: str = "work",
+) -> ba_ops.BAResult:
+    """Solve a (host-side) BAProblem across all devices of the mesh."""
+    n = mesh.devices.size
+    sp = shard_problem(problem, n)
+    res = _dist_runner(mesh, axis, cfg)(sp)
     # stitch sharded points back to the flat layout
     pts = np.asarray(res.points).reshape(-1, 3)
     return ba_ops.BAResult(

@@ -33,31 +33,43 @@ def match_pairs_batch(
     Returns (idx [B,N1], ok [B,N1]). B must be a multiple of the mesh size.
     """
 
-    @functools.partial(jax.jit, static_argnames=())
-    def run(d1, d2, v1, v2):
-        return jax.vmap(
-            lambda a, b, va, vb: matching_ops.match_descriptors(a, b, va, vb, opts)[:2]
-        )(d1, d2, v1, v2)
-
     if mesh is not None:
         B = d1.shape[0]
         n = mesh.devices.size
         assert B % n == 0, f"batch {B} not divisible by mesh size {n}"
-        sh3 = NamedSharding(mesh, P(axis, None, None))
-        sh2 = NamedSharding(mesh, P(axis, None))
+        run_sharded, sh3, sh2 = _sharded_runner(mesh, axis, opts)
         d1 = jax.device_put(d1, sh3)
         d2 = jax.device_put(d2, sh3)
         v1 = jax.device_put(v1, sh2)
         v2 = jax.device_put(v2, sh2)
-        run_sharded = jax.jit(
-            lambda a, b, va, vb: jax.vmap(
-                lambda x, y, vx, vy: matching_ops.match_descriptors(x, y, vx, vy, opts)[:2]
-            )(a, b, va, vb),
-            in_shardings=(sh3, sh3, sh2, sh2),
-            out_shardings=(sh2, sh2),
-        )
         return run_sharded(d1, d2, v1, v2)
-    return run(d1, d2, v1, v2)
+    return _local_runner(opts)(d1, d2, v1, v2)
+
+
+@functools.lru_cache(maxsize=16)
+def _local_runner(opts: matching_ops.MatchingOptions):
+    """Memoized jitted batch matcher (fresh closures per call would defeat
+    jax.jit's per-wrapper compile cache and recompile every invocation)."""
+    return jax.jit(
+        lambda a, b, va, vb: jax.vmap(
+            lambda x, y, vx, vy: matching_ops.match_descriptors(x, y, vx, vy, opts)[:2]
+        )(a, b, va, vb)
+    )
+
+
+@functools.lru_cache(maxsize=16)
+def _sharded_runner(mesh, axis: str, opts: matching_ops.MatchingOptions):
+    """Memoized sharded matcher + its shardings, keyed on (mesh, axis, opts)."""
+    sh3 = NamedSharding(mesh, P(axis, None, None))
+    sh2 = NamedSharding(mesh, P(axis, None))
+    fn = jax.jit(
+        lambda a, b, va, vb: jax.vmap(
+            lambda x, y, vx, vy: matching_ops.match_descriptors(x, y, vx, vy, opts)[:2]
+        )(a, b, va, vb),
+        in_shardings=(sh3, sh3, sh2, sh2),
+        out_shardings=(sh2, sh2),
+    )
+    return fn, sh3, sh2
 
 
 def match_pair_list(

@@ -15,6 +15,8 @@ the best-K aggregation — it cannot introduce wrong evidence).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -42,31 +44,50 @@ def plane_sweep_batch(
     multiple of the mesh size when a mesh is given.
     """
 
-    if use_geom and src_depths is not None:
-        def one(r, s, kr, ks, R, t, d, sd):
-            return stereo_ops.plane_sweep(
-                r, s, kr, ks, R, t, d, opts, src_depths=sd, use_geom=True
-            )
+    with_geom = use_geom and src_depths is not None
+    if with_geom:
         args = (refs, srcs, K_ref, K_srcs, R_rel, t_rel, depths, src_depths)
     else:
-        def one(r, s, kr, ks, R, t, d):
-            return stereo_ops.plane_sweep(r, s, kr, ks, R, t, d, opts)
         args = (refs, srcs, K_ref, K_srcs, R_rel, t_rel, depths)
 
     if mesh is None:
-        return jax.jit(jax.vmap(one))(*args)
+        run, _ = _runner(None, axis, opts, with_geom)
+        return run(*args)
 
     B = refs.shape[0]
     n = mesh.devices.size
     assert B % n == 0, f"batch {B} not divisible by mesh size {n}"
+    run, shardings = _runner(mesh, axis, opts, with_geom)
+    args = tuple(jax.device_put(a, s) for a, s in zip(args, shardings))
+    return run(*args)
+
+
+@functools.lru_cache(maxsize=16)
+def _runner(mesh, axis: str, opts: stereo_ops.StereoOptions, with_geom: bool):
+    """Memoized jitted (and optionally sharded) sweep runner — a fresh
+    closure per call would sidestep jax.jit's compile cache and recompile
+    on every invocation."""
+    if with_geom:
+        def one(r, s, kr, ks, R, t, d, sd):
+            return stereo_ops.plane_sweep(
+                r, s, kr, ks, R, t, d, opts, src_depths=sd, use_geom=True
+            )
+        ndims = (3, 4, 3, 4, 4, 3, 2, 4)
+    else:
+        def one(r, s, kr, ks, R, t, d):
+            return stereo_ops.plane_sweep(r, s, kr, ks, R, t, d, opts)
+        ndims = (3, 4, 3, 4, 4, 3, 2)
+    if mesh is None:
+        return jax.jit(jax.vmap(one)), None
     shardings = tuple(
-        NamedSharding(mesh, P(axis, *([None] * (a.ndim - 1)))) for a in args
+        NamedSharding(mesh, P(axis, *([None] * (nd - 1)))) for nd in ndims
     )
     out_sh = (
         NamedSharding(mesh, P(axis, None, None)),
         NamedSharding(mesh, P(axis, None, None)),
         NamedSharding(mesh, P(axis, None, None, None)),
     )
-    args = tuple(jax.device_put(a, s) for a, s in zip(args, shardings))
-    run = jax.jit(jax.vmap(one), in_shardings=shardings, out_shardings=out_sh)
-    return run(*args)
+    return (
+        jax.jit(jax.vmap(one), in_shardings=shardings, out_shardings=out_sh),
+        shardings,
+    )

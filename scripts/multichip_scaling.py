@@ -66,6 +66,22 @@ def bench_matching(mesh, n):
     return _time(run)
 
 
+def bench_matching_local(n=None):
+    """Single-device baseline: same workload, no mesh."""
+    rng = np.random.default_rng(0)
+    B, N, D = 32, 1024, 128
+    d = rng.normal(size=(2 * B, N, D)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    v = np.ones((B, N), np.float32)
+    d1, d2 = d[:B], d[B:]
+
+    def run():
+        idx, ok = dist_matching.match_pairs_batch(d1, d2, v, v, mesh=None)
+        jax.block_until_ready(ok)
+
+    return _time(run)
+
+
 def _corridor(n_cams=64, n_pts=4096):
     rng = np.random.default_rng(1)
     pts = np.stack(
@@ -96,10 +112,16 @@ def bench_ba(mesh, n, prob):
     """Fixed total: 64-camera / 4096-point corridor BA, points sharded."""
     cfg = ba_ops.BAConfig(model_id=1, max_iterations=8)
 
-    def run():
-        res = dist_ba.solve_distributed(prob, cfg, mesh, axis="work")
-        jax.block_until_ready(res.final_cost)
-        return res
+    if mesh is None:
+        def run():
+            res = ba_ops.solve(prob, cfg)
+            jax.block_until_ready(res.final_cost)
+            return res
+    else:
+        def run():
+            res = dist_ba.solve_distributed(prob, cfg, mesh, axis="work")
+            jax.block_until_ready(res.final_cost)
+            return res
 
     return _time(run)
 
@@ -123,15 +145,23 @@ def bench_mvs(mesh, n):
     return _time(run)
 
 
+def bench_mvs_local(n=None):
+    return bench_mvs(None, 1)
+
+
 def main():
     devs = jax.devices("cpu")
     prob = _corridor()
     table = []
     for n in (1, 2, 4, 8):
-        mesh = mesh_lib.make_mesh(n, axis="work", devices=devs[:n])
+        # n=1 baseline = the plain local single-device path (no mesh),
+        # exactly what a single-chip run executes
+        mesh = None if n == 1 else mesh_lib.make_mesh(n, axis="work", devices=devs[:n])
         row = {
             "n_devices": n,
-            "matching_s": round(bench_matching(mesh, n), 4),
+            "matching_s": round(
+                (bench_matching_local() if mesh is None else bench_matching(mesh, n)), 4
+            ),
             "dist_ba_s": round(bench_ba(mesh, n, prob), 4),
             "mvs_s": round(bench_mvs(mesh, n), 4),
         }
