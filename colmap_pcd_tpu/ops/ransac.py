@@ -285,11 +285,19 @@ def ransac_fundamental(uv1, uv2, valid, key, opts: RansacOptions = RansacOptions
 def ransac_essential(uv1, uv2, valid, key, opts: RansacOptions = RansacOptions(),
                      quality=None, max_error=None):
     """E from normalized camera coords; max_error in normalized units
-    (opts.max_error, or the traced `max_error` scalar when given)."""
+    (opts.max_error, or the traced `max_error` scalar when given).
+
+    Hypothesizes with the Nister 5-point minimal solver (up to 10 essential
+    matrices per sample, Durand-Kerner rooted on device) and LO-refits with
+    8-point + manifold projection on the inliers — the minimal/non-minimal
+    split of the reference's E-LORANSAC (estimators/two_view_geometry.cc:
+    EssentialMatrixFivePointEstimator; 5-point needs (1-eps)^5 instead of
+    (1-eps)^8 per clean sample, a ~3x hypothesis saving at 30% outliers)."""
     return _ransac_two_view(
         uv1, uv2, valid, key, opts,
         lambda a, b, m: solvers.eight_point(a, b, m, essential=True),
-        solvers.sampson_error, 8, quality, max_error,
+        solvers.sampson_error, 5, quality, max_error,
+        minimal_solver=solvers.five_point, models_per_sample=10,
     )
 
 

@@ -12,9 +12,11 @@ Notes vs the reference:
     root-finding needs complex eigensolves that XLA:TPU lacks; a P6P sample
     costs more RANSAC trials, which the batched hypothesis bank absorbs.
     EPnP (absolute_pose.h:97) is provided for non-minimal refits.
-  * Essential matrix uses the 8-point algorithm + manifold projection rather
-    than Nister 5-point (degree-10 polynomial, same TPU constraint).
-  * Fundamental: 8-point (7-point deferred).
+  * Essential matrix: Nister 5-point (up to 10 solutions per sample) with the
+    degree-10 polynomial rooted by the batched Durand-Kerner of
+    ops/polynomial (companion-matrix eig is not TPU-lowerable); 8-point +
+    manifold projection serves as the non-minimal LO refit.
+  * Fundamental: 7-point minimal (closed-form cubic) + 8-point LO refit.
 All solvers operate on normalized or pixel coordinates as documented per-fn.
 """
 
@@ -197,10 +199,18 @@ def umeyama(src: Array, dst: Array, with_scale: bool = False, mask: Array | None
 # epipolar geometry
 
 
-def _normalize_points(uv: Array) -> tuple[Array, Array]:
-    """Hartley normalization: returns (uv_norm, T 3x3) with T @ uv_h = uv_norm_h."""
-    mean = jnp.mean(uv, axis=0)
-    rms = jnp.sqrt(jnp.mean(jnp.sum((uv - mean) ** 2, axis=-1)))
+def _normalize_points(uv: Array, mask: Array | None = None) -> tuple[Array, Array]:
+    """Hartley normalization: returns (uv_norm, T 3x3) with T @ uv_h = uv_norm_h.
+
+    With a mask, mean/rms come from the masked rows only — an LO refit on an
+    inlier subset must not let outlier coordinates skew the conditioning."""
+    if mask is None:
+        mean = jnp.mean(uv, axis=0)
+        rms = jnp.sqrt(jnp.mean(jnp.sum((uv - mean) ** 2, axis=-1)))
+    else:
+        w = mask / jnp.maximum(jnp.sum(mask), 1.0)
+        mean = jnp.sum(uv * w[:, None], axis=0)
+        rms = jnp.sqrt(jnp.sum(jnp.sum((uv - mean) ** 2, axis=-1) * w))
     s = jnp.sqrt(2.0) / jnp.maximum(rms, 1e-12)
     T = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
     T = T.at[0, 0].set(s).at[1, 1].set(s).at[0, 2].set(-s * mean[0]).at[1, 2].set(-s * mean[1])
@@ -216,8 +226,8 @@ def eight_point(uv1: Array, uv2: Array, mask: Array | None = None, essential: bo
     """
     n = uv1.shape[0]
     m = jnp.ones((n,), uv1.dtype) if mask is None else mask
-    n1, T1 = _normalize_points(uv1)
-    n2, T2 = _normalize_points(uv2)
+    n1, T1 = _normalize_points(uv1, m)
+    n2, T2 = _normalize_points(uv2, m)
     x1, y1 = n1[:, 0], n1[:, 1]
     x2, y2 = n2[:, 0], n2[:, 1]
     A = jnp.stack(
@@ -303,6 +313,168 @@ def seven_point(uv1: Array, uv2: Array) -> tuple[Array, Array]:
     return Fs, valid
 
 
+def _five_point_poly(uv1: Array, uv2: Array):
+    """Nister reduction: returns (det10 [11] z-polynomial highest-first,
+    rows — the three (px [4], py [4], pc [5]) B(z)-row polynomials — and the
+    nullspace basis Eb [4,3,3])."""
+    x1, y1 = uv1[:, 0], uv1[:, 1]
+    x2, y2 = uv2[:, 0], uv2[:, 1]
+    A = jnp.stack(
+        [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, jnp.ones_like(x1)],
+        axis=-1,
+    )  # [5,9], rows of x2^T E x1 = 0 with E row-major
+    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
+    Eb = vt[-4:].reshape(4, 3, 3)  # E = x Eb[0] + y Eb[1] + z Eb[2] + Eb[3]
+
+    # --- trace-time symbolic polynomials over monomials x^i y^j z^k --------
+    def pmul(p, q):
+        r = {}
+        for a, ca in p.items():
+            for b, cb in q.items():
+                k = (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+                r[k] = r[k] + ca * cb if k in r else ca * cb
+        return r
+
+    def padd(p, q, s=1.0):
+        r = dict(p)
+        for k, c in q.items():
+            r[k] = r[k] + s * c if k in r else s * c
+        return r
+
+    E = [
+        [
+            {
+                (1, 0, 0): Eb[0, i, j],
+                (0, 1, 0): Eb[1, i, j],
+                (0, 0, 1): Eb[2, i, j],
+                (0, 0, 0): Eb[3, i, j],
+            }
+            for j in range(3)
+        ]
+        for i in range(3)
+    ]
+
+    def minor(i0, i1, j0, j1):
+        return padd(pmul(E[i0][j0], E[i1][j1]), pmul(E[i0][j1], E[i1][j0]), -1.0)
+
+    detE = padd(
+        padd(pmul(E[0][0], minor(1, 2, 1, 2)), pmul(E[0][1], minor(1, 2, 0, 2)), -1.0),
+        pmul(E[0][2], minor(1, 2, 0, 1)),
+    )
+
+    EEt = [
+        [
+            padd(
+                padd(pmul(E[i][0], E[k][0]), pmul(E[i][1], E[k][1])),
+                pmul(E[i][2], E[k][2]),
+            )
+            for k in range(3)
+        ]
+        for i in range(3)
+    ]
+    tr = padd(padd(EEt[0][0], EEt[1][1]), EEt[2][2])
+
+    eqs = [detE]
+    for i in range(3):
+        for j in range(3):
+            cij = {}
+            for k in range(3):
+                cij = padd(cij, pmul(EEt[i][k], E[k][j]), 2.0)
+            cij = padd(cij, pmul(tr, E[i][j]), -1.0)
+            eqs.append(cij)
+
+    # Nister monomial order: first 10 eliminate, last 10 = [xz^2, xz, x,
+    # yz^2, yz, y, z^3, z^2, z, 1]
+    MON = [
+        (3, 0, 0), (0, 3, 0), (2, 1, 0), (1, 2, 0), (2, 0, 1),
+        (2, 0, 0), (0, 2, 1), (0, 2, 0), (1, 1, 1), (1, 1, 0),
+        (1, 0, 2), (1, 0, 1), (1, 0, 0), (0, 1, 2), (0, 1, 1),
+        (0, 1, 0), (0, 0, 3), (0, 0, 2), (0, 0, 1), (0, 0, 0),
+    ]
+    zero = jnp.zeros(())
+    M = jnp.stack([
+        jnp.stack([eq.get(m, zero) for m in MON]) for eq in eqs
+    ])  # [10,20]
+
+    # Gauss-Jordan: first10 = -C @ last10-monomials
+    C = jnp.linalg.solve(M[:, :10], M[:, 10:])  # [10,10]
+
+    # B rows from z*(row of x^2) - (row of x^2 z), etc. Row pair (r1=degree+z,
+    # r2=degree): coefficients over n are d_j(z) = z C[r2,j] - C[r1,j], which
+    # collect into per-row z-polynomials in x (deg 3), y (deg 3), 1 (deg 4).
+    def brow(r1, r2):
+        px = jnp.stack([
+            C[r2, 0], C[r2, 1] - C[r1, 0], C[r2, 2] - C[r1, 1], -C[r1, 2]
+        ])
+        py = jnp.stack([
+            C[r2, 3], C[r2, 4] - C[r1, 3], C[r2, 5] - C[r1, 4], -C[r1, 5]
+        ])
+        pc = jnp.stack([
+            C[r2, 6], C[r2, 7] - C[r1, 6], C[r2, 8] - C[r1, 7],
+            C[r2, 9] - C[r1, 8], -C[r1, 9]
+        ])
+        return px, py, pc
+
+    rows = [brow(4, 5), brow(6, 7), brow(8, 9)]
+
+    def conv(a, b):
+        return jnp.convolve(a, b)
+
+    (px0, py0, pc0), (px1, py1, pc1), (px2, py2, pc2) = rows
+    m12_yc = conv(py1, pc2) - conv(py2, pc1)  # deg 7
+    m12_xc = conv(px1, pc2) - conv(px2, pc1)  # deg 7
+    m12_xy = conv(px1, py2) - conv(px2, py1)  # deg 6
+    det10 = (
+        conv(px0, m12_yc) - conv(py0, m12_xc)
+        + conv(pc0, jnp.pad(m12_xy, (0, 0)))
+    )  # [11], degree 10, highest first
+    return det10, rows, Eb
+
+
+def five_point(uv1: Array, uv2: Array) -> tuple[Array, Array]:
+    """Nister 5-point essential matrix: up to 10 solutions.
+
+    uv1/uv2 [5,2] normalized camera coordinates. Returns (Es [10,3,3],
+    valid [10]). reference: estimators/essential_matrix.h
+    (EssentialMatrixFivePointEstimator) + base/polynomial.cc root finding.
+
+    TPU re-design: instead of the reference's Eigen Gauss-Jordan + companion
+    matrix (non-symmetric eig, unavailable on TPU), the ten cubic constraints
+    (det(E) = 0 and 2 E E^T E - tr(E E^T) E = 0) are expanded symbolically at
+    trace time into the 20-monomial basis, reduced with one 10x10 solve, and
+    the degree-10 det B(z) polynomial is rooted with the batched
+    Durand-Kerner of ops/polynomial — the whole bank of RANSAC samples runs
+    as one vmapped dispatch.
+    """
+    from . import polynomial as poly_ops
+
+    det10, rows, Eb = _five_point_poly(uv1, uv2)
+    (px0, py0, pc0), (px1, py1, pc1), (px2, py2, pc2) = rows
+
+    roots, rvalid = poly_ops.real_roots(det10)
+
+    def build(z, ok):
+        pxv = jnp.stack([poly_ops.polyval(px0, z), poly_ops.polyval(px1, z), poly_ops.polyval(px2, z)])
+        pyv = jnp.stack([poly_ops.polyval(py0, z), poly_ops.polyval(py1, z), poly_ops.polyval(py2, z)])
+        pcv = jnp.stack([poly_ops.polyval(pc0, z), poly_ops.polyval(pc1, z), poly_ops.polyval(pc2, z)])
+        # solve the best-conditioned 2x2 row pair of B(z) [x,y,1]^T = 0
+        pairs = jnp.asarray([[0, 1], [0, 2], [1, 2]])
+        d2 = pxv[pairs[:, 0]] * pyv[pairs[:, 1]] - pxv[pairs[:, 1]] * pyv[pairs[:, 0]]
+        k = jnp.argmax(jnp.abs(d2))
+        a, b = pairs[k, 0], pairs[k, 1]
+        det2 = jnp.where(jnp.abs(d2[k]) < 1e-12, 1e-12, d2[k])
+        x = (-pcv[a] * pyv[b] + pcv[b] * pyv[a]) / det2
+        y = (pcv[a] * pxv[b] - pcv[b] * pxv[a]) / det2
+        Ez = x * Eb[0] + y * Eb[1] + z * Eb[2] + Eb[3]
+        nrm = jnp.linalg.norm(Ez)
+        Ez = Ez / jnp.where(nrm < 1e-12, 1e-12, nrm)
+        ok = ok & jnp.all(jnp.isfinite(Ez))
+        return jnp.where(ok, Ez, jnp.eye(3)), ok
+
+    Es, valid = jax.vmap(build)(roots, rvalid)
+    return Es, valid
+
+
 def sampson_error(F: Array, uv1: Array, uv2: Array) -> Array:
     """Squared Sampson distance (reference: base/essential_matrix.cc /
     cost_functions.h:563-627 RelativePoseCostFunction)."""
@@ -370,8 +542,8 @@ def homography_dlt(uv1: Array, uv2: Array, mask: Array | None = None) -> Array:
     """4+ point homography via normalized DLT (estimators/homography_matrix.h)."""
     n = uv1.shape[0]
     m = jnp.ones((n,), uv1.dtype) if mask is None else mask
-    n1, T1 = _normalize_points(uv1)
-    n2, T2 = _normalize_points(uv2)
+    n1, T1 = _normalize_points(uv1, m)
+    n2, T2 = _normalize_points(uv2, m)
     x1, y1 = n1[:, 0], n1[:, 1]
     x2, y2 = n2[:, 0], n2[:, 1]
     z = jnp.zeros_like(x1)
