@@ -29,6 +29,7 @@ from ..ops import camera_models as cm
 from ..ops import matching as matching_ops
 from ..ops import np_geom
 from ..ops import sift as sift_ops
+from ..utils import device_lock
 from ..utils import image as image_utils
 from ..utils.config import SiftExtractionConfig, SiftMatchingConfig
 from ..utils.threading_utils import pipeline_map
@@ -128,6 +129,7 @@ def run_feature_extractor(
             kp[:, :3] /= scale  # positions + scale back to original resolution
         return kp, desc
 
+    @device_lock.locked
     def device_stage(batch, data):
         from ..utils.flops import FLOPS
 
@@ -321,6 +323,7 @@ class _MatchWorker:
             n_ok += self._match_pairs_chunk(block)
         return n_ok
 
+    @device_lock.locked
     def _match_pairs_chunk(self, pairs) -> int:
         seen = set()
         uniq = []
@@ -438,6 +441,7 @@ class _MatchWorker:
         self.db.commit()
         return n_ok
 
+    @device_lock.locked
     def match_pair(self, id1: int, id2: int) -> int:
         """Match + verify + write. Returns inlier count."""
         kp1, d1, v1, n1 = self._feats(id1)

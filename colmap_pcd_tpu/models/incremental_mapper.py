@@ -41,6 +41,7 @@ from ..ops import pointcloud as pc_ops
 from ..ops import np_geom
 from ..ops import ransac as ransac_ops
 from ..utils import prewarm
+from ..utils import device_lock
 from .correspondence_graph import CorrespondenceGraph
 from .lidar_map import LidarMap
 from .reconstruction import (
@@ -350,6 +351,7 @@ class IncrementalMapper:
         )
         return q_cw, t_cw
 
+    @device_lock.locked
     def register_initial_image_pair_by_depth_proj(
         self, opts: MapperOptions, image_id1: int, image_id2: int
     ) -> bool:
@@ -444,6 +446,7 @@ class IncrementalMapper:
         self._refine_pose(image_id2, opts)
         return True
 
+    @device_lock.locked
     def register_initial_image_pair(self, opts: MapperOptions, image_id1: int, image_id2: int) -> bool:
         """Classic two-view init (RegisterInitialImagePair, :391): relative
         pose from the essential matrix, triangulate, |t|=1 gauge."""
@@ -723,6 +726,7 @@ class IncrementalMapper:
         ukey = np.unique(key)
         return ukey >> 44, ukey & ((1 << 44) - 1)
 
+    @device_lock.locked
     def register_next_image(self, opts: MapperOptions, image_id: int) -> bool:
         """(RegisterNextImage, :706-964)."""
         img = self.rec.images[image_id]
@@ -889,6 +893,7 @@ class IncrementalMapper:
                 break
         return selected
 
+    @device_lock.locked
     def adjust_local_bundle(
         self, opts: MapperOptions, image_id: int, point3D_ids: set[int]
     ) -> LocalBAReport:
@@ -987,6 +992,7 @@ class IncrementalMapper:
         return report
 
     # ------------------------------------------------------------- global BA
+    @device_lock.locked
     def adjust_global_bundle_by_lidar(self, opts: MapperOptions) -> bool:
         """(AdjustGlobalBundleByLidar, :1297-1493)."""
         reg = list(self.rec.registered_ids)
@@ -1062,6 +1068,7 @@ class IncrementalMapper:
                 self.rec.points3D[pid].global_opt_num += 1
         return True
 
+    @device_lock.locked
     def adjust_global_bundle(self, opts: MapperOptions) -> bool:
         """Classic global BA (:1225-1285): gauge fixed by first pose + one
         translation component of the second."""

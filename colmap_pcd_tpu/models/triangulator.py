@@ -20,6 +20,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..ops import np_geom
+from ..utils import device_lock
 from .reconstruction import INVALID_POINT3D, Reconstruction
 
 
@@ -66,6 +67,7 @@ class IncrementalTriangulator:
         return float(np.linalg.norm(xy - img.xys[feat_idx]))
 
     # ------------------------------------------------------------------
+    @device_lock.locked
     def triangulate_image(self, options: TriangulatorOptions, image_id: int) -> int:
         """Create/continue tracks for all features of a registered image.
         Returns number of added observations (TriangulateImage,
@@ -297,6 +299,7 @@ class IncrementalTriangulator:
                 return False
         return True
 
+    @device_lock.locked
     def retriangulate(self, options: TriangulatorOptions) -> int:
         """Retriangulate under-reconstructed image pairs (Retriangulate,
         incremental_triangulator.cc:350-496): for every registered pair whose

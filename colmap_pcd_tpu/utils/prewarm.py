@@ -77,6 +77,10 @@ def _load_file(path: str) -> list[dict]:
         return []
 
 
+from . import device_lock
+
+
+@device_lock.locked
 def _compile_one(entry: dict):
     import jax
     import jax.numpy as jnp
