@@ -54,6 +54,10 @@ class ControllerOptions:
     ba_global_points_ratio: float = 1.1
     ba_global_images_freq: int = 500
     ba_global_points_freq: int = 250000
+    # final whole-map rounds: re-run iterative global refinement at model
+    # completion with the spherical window lifted (all poses variable) —
+    # recovers drift the moving 40 m sphere froze into early trajectory
+    final_wholemap_rounds: int = 1
     snapshot_path: str = ""
     snapshot_images_freq: int = 0
     image_pose_save_folder: str = ""
@@ -316,12 +320,32 @@ class IncrementalMapperController:
                 prev_reg_next_success = reg_next_success
 
     def _finish_model(self):
-        """Final global refinement + pose export for the current model."""
+        """Final global refinement + pose export for the current model.
+
+        On top of the reference's closing IterativeGlobalRefinement, run
+        final rounds with the spherical window LIFTED: during mapping the
+        40 m sphere (AdjustGlobalBundleByLidar) freezes drift into any part
+        of the trajectory it has moved past — one whole-map lidar-constrained
+        solve at the end re-opens every pose (PCG tier engages automatically
+        above 1024 pose blocks)."""
         if (
             self.rec.num_reg_images >= 2
             and self.rec.num_reg_images != self.state.num_img_last_global_ba
         ):
             self.iterative_global_refinement()
+        if self.rec.num_reg_images >= 2 and self.copts.final_wholemap_rounds > 0:
+            import dataclasses
+
+            saved = self.opts
+            try:
+                self.opts = dataclasses.replace(
+                    saved, ba_spherical_search_radius=1e12
+                )
+                for _ in range(self.copts.final_wholemap_rounds):
+                    with PHASES.phase("final_wholemap_refinement"):
+                        self.iterative_global_refinement()
+            finally:
+                self.opts = saved
         if self.copts.image_pose_save_folder:
             os.makedirs(self.copts.image_pose_save_folder, exist_ok=True)
             save_image_poses(

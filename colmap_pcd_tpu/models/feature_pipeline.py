@@ -129,7 +129,7 @@ def run_feature_extractor(
             kp[:, :3] /= scale  # positions + scale back to original resolution
         return kp, desc
 
-    @device_lock.locked
+    @device_lock.locked_background
     def device_stage(batch, data):
         from ..utils.flops import FLOPS
 
@@ -323,7 +323,7 @@ class _MatchWorker:
             n_ok += self._match_pairs_chunk(block)
         return n_ok
 
-    @device_lock.locked
+    @device_lock.locked_background
     def _match_pairs_chunk(self, pairs) -> int:
         seen = set()
         uniq = []
@@ -441,7 +441,7 @@ class _MatchWorker:
         self.db.commit()
         return n_ok
 
-    @device_lock.locked
+    @device_lock.locked_background
     def match_pair(self, id1: int, id2: int) -> int:
         """Match + verify + write. Returns inlier count."""
         kp1, d1, v1, n1 = self._feats(id1)

@@ -168,25 +168,43 @@ class IncrementalMapper:
         )
         # per-image depth-projection cache for the current BA round
         # (lidar_searched_image_ids_, bundle_adjustment.h:189)
-        self._proj_cache: dict[int, dict[int, tuple[np.ndarray, np.ndarray]]] = {}
+        self._proj_cache: dict[int, tuple[tuple[int, int], dict]] = {}
         # optional (mesh, axis): route every BA solve through the
         # distributed Schur solver (parallel/dist_ba.py) over this mesh
         self.dist_mesh: tuple | None = None
 
     # ------------------------------------------------------------------ lidar
     def clear_lidar_points(self):
+        # NOTE: the projection cache survives this on purpose — an entry is a
+        # pure function of (image pose, triangulated feature set, lidar map)
+        # and is stamp-validated against (pose_epoch, mut_epoch), so clearing
+        # associations does not require re-projecting unchanged views.
         self.rec.clear_lidar_points()
-        self._proj_cache.clear()
 
     def _camera_of(self, image_id: int):
         img = self.rec.images[image_id]
         return self.rec.cameras[img.camera_id]
 
+    def _proj_stamp(self, image_id: int) -> tuple[int, int]:
+        return (
+            self.rec.pose_epoch.get(image_id, 0),
+            self.rec.mut_epoch.get(image_id, 0),
+        )
+
+    def _proj_cached(self, image_id: int):
+        e = self._proj_cache.get(image_id)
+        if e is not None and e[0] == self._proj_stamp(image_id):
+            return e[1]
+        return None
+
     def _project_image_to_cloud(self, image_id: int):
         """SetNewImage(map overload): associate this image's triangulated
-        features with lidar points; cache per image (Project2Image)."""
-        if image_id in self._proj_cache:
-            return self._proj_cache[image_id]
+        features with lidar points; cache per image (Project2Image), entries
+        stamp-validated against pose/triangulation change epochs."""
+        cached = self._proj_cached(image_id)
+        if cached is not None:
+            return cached
+        stamp = self._proj_stamp(image_id)
         img = self.rec.images[image_id]
         cam = self._camera_of(image_id)
         feat_idx = np.nonzero(img.point3D_ids != INVALID_POINT3D)[0]
@@ -205,14 +223,16 @@ class IncrementalMapper:
                 if out["found"][k]:
                     pid = int(img.point3D_ids[fi])
                     result[pid] = (out["lidar_pt"][k], out["lidar_nrm"][k])
-        self._proj_cache[image_id] = result
+        self._proj_cache[image_id] = (stamp, result)
         return result
 
     def _project_images_to_cloud(self, image_ids):
         """Batch-fill the projection cache for several views at once: one
         vmapped depth_project dispatch per camera group instead of one per
         view (Project2Image across the track set of a local-BA round)."""
-        todo = [i for i in dict.fromkeys(image_ids) if i not in self._proj_cache]
+        todo = [
+            i for i in dict.fromkeys(image_ids) if self._proj_cached(i) is None
+        ]
         if len(todo) < 2 or self.lidar_map is None:
             return
         by_cam: dict[int, list[int]] = {}
@@ -227,7 +247,7 @@ class IncrementalMapper:
             F = max((f.size for f in feat_sets), default=0)
             if F == 0:
                 for iid in iids:
-                    self._proj_cache[iid] = {}
+                    self._proj_cache[iid] = (self._proj_stamp(iid), {})
                 continue
             B = len(iids)
             fxy = np.zeros((B, F, 2), np.float32)
@@ -250,9 +270,10 @@ class IncrementalMapper:
                 pids = img.point3D_ids[fidx[hit]]
                 lp = out["lidar_pt"][b, hit]
                 ln = out["lidar_nrm"][b, hit]
-                self._proj_cache[iid] = {
-                    int(p): (lp[k], ln[k]) for k, p in enumerate(pids)
-                }
+                self._proj_cache[iid] = (
+                    self._proj_stamp(iid),
+                    {int(p): (lp[k], ln[k]) for k, p in enumerate(pids)},
+                )
 
     def _match_variable_points_to_lidar(self, point3D_ids, image_id: int, opts: MapperOptions):
         """Project2Image + MatchVariablePoint2LidarPoint, batched: across each
@@ -365,6 +386,7 @@ class IncrementalMapper:
         if image_id1 in self.pose_priors:
             q1, t1 = self.pose_priors[image_id1]
         img1.qvec, img1.tvec = np.asarray(q1, np.float64), np.asarray(t1, np.float64)
+        self.rec.bump_pose(image_id1)
 
         matches = self.graph.matches_between(image_id1, image_id2)
         if len(matches) < opts.init_min_num_inliers:
@@ -424,9 +446,11 @@ class IncrementalMapper:
             return False
         img2.qvec = np.asarray(q2_a, np.float64)
         img2.tvec = np.asarray(t2_a, np.float64)
+        self.rec.bump_pose(image_id2)
         # pose prior for image2 wins if present (reference :577-580)
         if image_id2 in self.pose_priors:
             img2.qvec, img2.tvec = (np.asarray(v, np.float64) for v in self.pose_priors[image_id2])
+            self.rec.bump_pose(image_id2)
 
         self._register_image_event(image_id1)
         self._register_image_event(image_id2)
@@ -482,6 +506,8 @@ class IncrementalMapper:
         img1.tvec = np.zeros(3)
         img2.qvec = np.asarray(g.qvec, np.float64)
         img2.tvec = np.asarray(g.tvec, np.float64)
+        self.rec.bump_pose(image_id1)
+        self.rec.bump_pose(image_id2)
         self._register_image_event(image_id1)
         self._register_image_event(image_id2)
         self.last_registered_id = image_id2
@@ -774,10 +800,12 @@ class IncrementalMapper:
             return False
         img.qvec = np.asarray(q_a, np.float64)
         img.tvec = np.asarray(t_a, np.float64)
+        self.rec.bump_pose(image_id)
         # pose prior injection (:737-750): prior overrides PnP when available
         has_prior = image_id in self.pose_priors
         if has_prior:
             img.qvec, img.tvec = (np.asarray(v, np.float64) for v in self.pose_priors[image_id])
+            self.rec.bump_pose(image_id)
 
         self._register_image_event(image_id)
         self.last_registered_id = image_id
@@ -827,6 +855,7 @@ class IncrementalMapper:
         if float(out.final_cost) <= float(out.initial_cost):
             img.qvec = np.asarray(out.cam_q[0], np.float64)
             img.tvec = np.asarray(out.cam_t[0], np.float64)
+            self.rec.bump_pose(image_id)
 
     # -------------------------------------------------------------- local BA
     def find_local_bundle(self, opts: MapperOptions, image_id: int) -> list[int]:
@@ -900,7 +929,8 @@ class IncrementalMapper:
         from .controllers import PHASES
 
         report = LocalBAReport()
-        local_bundle = self.find_local_bundle(opts, image_id)
+        with PHASES.phase("find_local_bundle"):
+            local_bundle = self.find_local_bundle(opts, image_id)
         if not local_bundle:
             return report
         bundle_images = [image_id] + local_bundle
@@ -986,9 +1016,10 @@ class IncrementalMapper:
                 opts.filter_max_reproj_error, opts.filter_min_tri_angle, list(point3D_ids)
             )
         if opts.if_add_lidar_constraint:
-            report.num_filtered_observations += self.rec.filter_lidar_outliers(
-                opts.proj_max_dist_error, opts.icp_max_dist_error
-            )
+            with PHASES.phase("lidar_outlier_filter"):
+                report.num_filtered_observations += self.rec.filter_lidar_outliers(
+                    opts.proj_max_dist_error, opts.icp_max_dist_error
+                )
         return report
 
     # ------------------------------------------------------------- global BA
@@ -1313,6 +1344,7 @@ class IncrementalMapper:
             if iid not in pose_fixed_ids:
                 rec.images[iid].qvec = q_out[k]
                 rec.images[iid].tvec = t_out[k]
+                rec.bump_pose(iid)
         if refine_intrinsics:
             # per-camera write-back of each refined intrinsics slot
             new_params = np.asarray(intr_out, np.float64)

@@ -140,6 +140,15 @@ class Reconstruction:
         # (the reference's SetObservationAsTriangulated bookkeeping hook,
         # base/image.cc:110-135) — see models/visibility.VisibilityIndex
         self.obs_observers: list = []
+        # per-image change counters: pose_epoch bumps on every pose write,
+        # mut_epoch on every point3D_ids mutation — cheap validity stamps for
+        # caches that are pure functions of (pose, triangulated feature set),
+        # e.g. the mapper's lidar projection cache
+        self.pose_epoch: dict[int, int] = {}
+        self.mut_epoch: dict[int, int] = {}
+
+    def bump_pose(self, image_id: int):
+        self.pose_epoch[image_id] = self.pose_epoch.get(image_id, 0) + 1
 
     def _set_obs(self, image_id: int, p2d_idx: int, pid: int):
         """Single point of mutation for image.point3D_ids with observer
@@ -148,6 +157,7 @@ class Reconstruction:
         old = int(img.point3D_ids[p2d_idx])
         if old == pid:
             return
+        self.mut_epoch[image_id] = self.mut_epoch.get(image_id, 0) + 1
         img.point3D_ids[p2d_idx] = pid
         if old == INVALID_POINT3D:
             for ob in self.obs_observers:
@@ -507,6 +517,7 @@ class Reconstruction:
             tn = scale * img.tvec - Rn @ t
             img.qvec = np_geom.rotmat_to_quat(Rn)
             img.tvec = tn
+            self.bump_pose(img.image_id)
         for p in self.points3D.values():
             p.xyz = scale * (R @ p.xyz) + t
 

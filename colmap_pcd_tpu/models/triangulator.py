@@ -71,31 +71,178 @@ class IncrementalTriangulator:
     def triangulate_image(self, options: TriangulatorOptions, image_id: int) -> int:
         """Create/continue tracks for all features of a registered image.
         Returns number of added observations (TriangulateImage,
-        incremental_triangulator.cc)."""
+        incremental_triangulator.cc).
+
+        Batched re-design for the default transitivity<=1 path: per-pair
+        matches are 1:1 (cross-checked), so distinct features of this image
+        have disjoint correspondence sets and the reference's sequential
+        per-feature loop is equivalent to one vectorized partition pass +
+        one batched continuation reprojection test + per-track-length
+        batched multiview DLTs (numpy batch SVD) — the same math with the
+        per-point python/SVD overhead amortized across every new point."""
         img = self.rec.images[image_id]
         if not img.registered:
             return 0
+        if options.max_transitivity > 1:
+            return self._triangulate_image_transitive(options, image_id)
+        free = np.nonzero(img.point3D_ids == INVALID_POINT3D)[0]
+        if free.size == 0:
+            return 0
+        qid, nbr_img, nbr_feat = self.graph.find_batch(image_id, free)
+        if qid.size == 0:
+            return 0
+        q_feat = free[qid]
+
+        # registered/pid status per correspondence row, one gather per image
+        reg = np.zeros(qid.size, bool)
+        pid_row = np.full(qid.size, INVALID_POINT3D, np.int64)
+        for cid in np.unique(nbr_img):
+            cimg = self.rec.images.get(int(cid))
+            if cimg is None or not cimg.registered:
+                continue
+            sel = nbr_img == cid
+            reg[sel] = True
+            pid_row[sel] = cimg.point3D_ids[nbr_feat[sel]]
+
         num_tris = 0
-        # one vectorized graph lookup for every untriangulated feature
-        # (transitivity > 1 falls back to per-feature BFS)
-        corr_map: dict[int, list] | None = None
-        if options.max_transitivity <= 1:
-            free = np.nonzero(img.point3D_ids == INVALID_POINT3D)[0]
-            qid, nbr_img, nbr_feat = self.graph.find_batch(image_id, free)
-            corr_map = {}
-            for k in range(qid.size):
-                corr_map.setdefault(int(free[qid[k]]), []).append(
-                    (int(nbr_img[k]), int(nbr_feat[k]))
+        order = np.argsort(q_feat, kind="stable")
+        qs_f = q_feat[order]
+        starts = np.nonzero(np.r_[True, qs_f[1:] != qs_f[:-1]])[0]
+        bounds = np.r_[starts, qs_f.size]
+        has_pid = reg & (pid_row != INVALID_POINT3D)
+
+        # --- continuation: features with a triangulated registered corr ----
+        cont_feats: list[int] = []
+        cont_pids: list[int] = []
+        handled: set[int] = set()
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            f = int(qs_f[s])
+            rows = order[s:e]
+            pids = pid_row[rows][has_pid[rows]]
+            if pids.size:
+                # continue the most common existing track if reprojection fits
+                handled.add(f)
+                vals, counts = np.unique(pids, return_counts=True)
+                pid = int(vals[np.argmax(counts)])
+                if pid in self.rec.points3D:
+                    cont_feats.append(f)
+                    cont_pids.append(pid)
+        if cont_feats:
+            cam = self.rec.cameras[img.camera_id]
+            xyz = np.stack([self.rec.points3D[p].xyz for p in cont_pids])
+            xy, z = np_geom.project(
+                cam.model_id, cam.padded_params(), img.qvec, img.tvec, xyz
+            )
+            errs = np.linalg.norm(xy - img.xys[np.asarray(cont_feats)], axis=-1)
+            okm = (z > 0) & (errs < options.complete_max_reproj_error)
+            for f, pid, ok in zip(cont_feats, cont_pids, okm):
+                if ok:
+                    self.rec.add_observation(pid, image_id, int(f))
+                    num_tris += 1
+
+        # --- creation: registered corrs present, none triangulated ---------
+        creations: list[list[tuple[int, int]]] = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            f = int(qs_f[s])
+            if f in handled:
+                continue
+            rows = order[s:e]
+            cand_rows = rows[reg[rows] & (pid_row[rows] == INVALID_POINT3D)]
+            if cand_rows.size == 0:
+                continue
+            if options.ignore_two_view_tracks and cand_rows.size < 2:
+                continue
+            creations.append(
+                [(image_id, f)]
+                + [(int(nbr_img[r]), int(nbr_feat[r])) for r in cand_rows]
+            )
+        num_tris += self._create_points_batched(options, creations)
+        return num_tris
+
+    def _create_points_batched(self, options: TriangulatorOptions, creations) -> int:
+        """Batched multiview DLT + gates for many candidate points, grouped
+        by view count T so every group is one [K,2T,4] batch SVD."""
+        if not creations:
+            return 0
+        num = 0
+        by_T: dict[int, list] = {}
+        for views in creations:
+            by_T.setdefault(len(views), []).append(views)
+        for T, group in sorted(by_T.items()):
+            K = len(group)
+            qs = np.empty((K, T, 4), np.float64)
+            ts = np.empty((K, T, 3), np.float64)
+            xys = np.empty((K, T, 2), np.float64)
+            cams = np.empty((K, T), np.int64)
+            for k, views in enumerate(group):
+                for j, (iid, fidx) in enumerate(views):
+                    im = self.rec.images[iid]
+                    qs[k, j] = im.qvec
+                    ts[k, j] = im.tvec
+                    xys[k, j] = im.xys[fidx]
+                    cams[k, j] = im.camera_id
+            uvn = np.empty((K, T, 2), np.float64)
+            for cid in np.unique(cams):
+                cam = self.rec.cameras[int(cid)]
+                m = cams == cid
+                uvn[m] = np_geom.image_to_world(cam.model_id, cam.padded_params(), xys[m])
+            R = np_geom.quat_to_rotmat(qs)  # [K,T,3,3]
+            P = np.concatenate([R, ts[..., None]], axis=-1)  # [K,T,3,4]
+            r0 = uvn[..., 0][..., None] * P[:, :, 2, :] - P[:, :, 0, :]
+            r1 = uvn[..., 1][..., None] * P[:, :, 2, :] - P[:, :, 1, :]
+            A = np.concatenate([r0, r1], axis=1)  # [K,2T,4]
+            _, _, vt = np.linalg.svd(A)
+            Xh = vt[:, -1]
+            w = np.where(np.abs(Xh[:, 3]) > 1e-12, Xh[:, 3], 1e-12)
+            X = Xh[:, :3] / w[:, None]
+            finite = np.isfinite(X).all(axis=1)
+            X = np.where(finite[:, None], X, 0.0)
+            # triangulation-angle gate: max pairwise angle >= min_angle
+            C = np_geom.projection_center(
+                qs.reshape(-1, 4), ts.reshape(-1, 3)
+            ).reshape(K, T, 3)
+            d = C - X[:, None]
+            dn = d / np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+            cosang = np.clip(np.einsum("kti,kui->ktu", dn, dn), -1.0, 1.0)
+            iu = np.triu_indices(T, 1)
+            max_ang = np.arccos(cosang[:, iu[0], iu[1]]).max(axis=-1)
+            ang_ok = max_ang >= np.deg2rad(options.min_angle)
+            # reprojection gate per view; keep passing views only
+            err = np.empty((K, T))
+            zs = np.empty((K, T))
+            Xrep = np.broadcast_to(X[:, None], (K, T, 3))
+            for cid in np.unique(cams):
+                cam = self.rec.cameras[int(cid)]
+                m = cams == cid
+                xy, z = np_geom.project(
+                    cam.model_id, cam.padded_params(), qs[m], ts[m], Xrep[m]
                 )
+                err[m] = np.linalg.norm(xy - xys[m], axis=-1)
+                zs[m] = z
+            good = (err < options.complete_max_reproj_error) & (zs > 0)
+            for k, views in enumerate(group):
+                if not (finite[k] and ang_ok[k] and good[k, 0]):
+                    continue
+                sel = [v for j, v in enumerate(views) if good[k, j]]
+                if len(sel) < 2:
+                    continue
+                self.rec.add_point3D(X[k], sel)
+                num += len(sel)
+        return num
+
+    def _triangulate_image_transitive(
+        self, options: TriangulatorOptions, image_id: int
+    ) -> int:
+        """Sequential per-feature path for max_transitivity > 1 (BFS
+        correspondences cannot be batched per image)."""
+        img = self.rec.images[image_id]
+        num_tris = 0
         for feat_idx in range(img.xys.shape[0]):
             if img.point3D_ids[feat_idx] != INVALID_POINT3D:
                 continue
-            if corr_map is not None:
-                corrs = corr_map.get(feat_idx, [])
-            else:
-                corrs = self.graph.find_transitive_correspondences(
-                    image_id, feat_idx, options.max_transitivity
-                )
+            corrs = self.graph.find_transitive_correspondences(
+                image_id, feat_idx, options.max_transitivity
+            )
             # partition correspondences
             existing_pids = []
             candidates = []  # (image_id, feat_idx) registered, untriangulated

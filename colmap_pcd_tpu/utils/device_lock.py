@@ -1,43 +1,106 @@
-"""Process-wide device-work serialization.
+"""Single-thread device executor: every device section runs on ONE OS thread.
 
-The single-chip TPU relay this container sees (the axon PJRT tunnel) is not
-robust under concurrent dispatch from multiple host threads: the overlapped
-frontend (extraction + matching threads), the shape-prewarm daemon, and the
-mapper each issuing programs can wedge an execution that never returns
-(observed: mid-run hang at 0% host CPU, main thread parked in nanosleep,
-nondeterministic trigger point). All device-touching sections therefore
-serialize on one process-wide RLock.
+The single-chip TPU relay this container sees (the axon PJRT tunnel) wedges
+nondeterministically when programs are dispatched from changing host threads:
+overlapped runs (extraction/matching/prewarm threads + mapper) hung with an
+execution that never returned even after all device sections were serialized
+behind a process lock — while strictly sequential runs (every dispatch from
+the main thread) never wedged. The conclusion: serialization is not enough,
+thread AFFINITY matters. So all device-touching sections are shipped to one
+dedicated daemon thread ("device-executor") and the callers block on a
+Future; the tunnel then only ever sees a single dispatching thread, exactly
+like the sequential runs that never hung.
 
-Cost analysis: the chip is a single serial resource regardless — XLA executes
-one program at a time per core — so the lock forfeits only host/device
-overlap inside locked sections, and MFU here is <<1% (host-bound pipeline).
-On an uncontended path the RLock costs ~100 ns per section. RLock (not Lock)
-so nested device sections within one thread are fine.
+Two admission classes keep the critical path fast: priority sections (the
+mapper's register/triangulate/BA phases) are drained before background ones
+(matcher chunks, extraction batches, prewarm compiles), so a registration
+waits for at most the one in-flight background section.
+
+Cost analysis: the chip executes one program at a time regardless — this
+forfeits only host/device overlap inside device sections (MFU here is <<1%,
+the pipeline is host-bound), plus one cross-thread hop (~10 us) per section.
 
 Usage:
-    from ..utils import device_lock
+    @device_lock.locked               # priority (mapper) section
+    @device_lock.locked_background    # background-producer section
 
-    with device_lock.LOCK:
-        out = some_jitted_fn(...)
-        vals = jax.device_get(out)   # keep readback inside the section
-
-or decorate a whole device-phase method with @device_lock.locked.
+Nested decorated calls already running on the executor thread run inline.
 """
 
 from __future__ import annotations
 
 import functools
 import threading
+from collections import deque
+from concurrent.futures import Future
 
-LOCK = threading.RLock()
+
+class DeviceExecutor:
+    def __init__(self):
+        self._cv = threading.Condition()
+        self._prio: deque = deque()
+        self._bg: deque = deque()
+        self._thread: threading.Thread | None = None
+
+    def _ensure_thread(self):
+        with self._cv:
+            if self._thread is None or not self._thread.is_alive():
+                self._thread = threading.Thread(
+                    target=self._run, daemon=True, name="device-executor"
+                )
+                self._thread.start()
+
+    def _run(self):
+        while True:
+            with self._cv:
+                while not self._prio and not self._bg:
+                    self._cv.wait()
+                fut, fn, args, kwargs = (
+                    self._prio.popleft() if self._prio else self._bg.popleft()
+                )
+            if not fut.set_running_or_notify_cancel():
+                continue
+            try:
+                fut.set_result(fn(*args, **kwargs))
+            except BaseException as e:  # propagate to the submitting thread
+                fut.set_exception(e)
+
+    def run(self, fn, args=(), kwargs=None, priority=True):
+        """Run fn on the device thread, blocking until it completes.
+
+        Re-entrant: calls made from the device thread itself run inline
+        (a nested section must not deadlock waiting on its own queue)."""
+        if threading.current_thread() is self._thread:
+            return fn(*args, **(kwargs or {}))
+        self._ensure_thread()
+        fut: Future = Future()
+        with self._cv:
+            (self._prio if priority else self._bg).append(
+                (fut, fn, args, kwargs or {})
+            )
+            self._cv.notify()
+        return fut.result()
+
+
+EXECUTOR = DeviceExecutor()
 
 
 def locked(fn):
-    """Run the wrapped callable while holding the process device lock."""
+    """Run the wrapped callable on the device thread (priority class)."""
 
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
-        with LOCK:
-            return fn(*args, **kwargs)
+        return EXECUTOR.run(fn, args, kwargs, priority=True)
+
+    return wrapper
+
+
+def locked_background(fn):
+    """Run the wrapped callable on the device thread (background class):
+    drained only when no priority section is queued."""
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        return EXECUTOR.run(fn, args, kwargs, priority=False)
 
     return wrapper
