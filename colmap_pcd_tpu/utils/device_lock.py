@@ -40,6 +40,7 @@ class DeviceExecutor:
         self._cv = threading.Condition()
         self._prio: deque = deque()
         self._bg: deque = deque()
+        self._idle: deque = deque()
         self._thread: threading.Thread | None = None
 
     def _ensure_thread(self):
@@ -53,11 +54,14 @@ class DeviceExecutor:
     def _run(self):
         while True:
             with self._cv:
-                while not self._prio and not self._bg:
+                while not self._prio and not self._bg and not self._idle:
                     self._cv.wait()
-                fut, fn, args, kwargs = (
-                    self._prio.popleft() if self._prio else self._bg.popleft()
-                )
+                if self._prio:
+                    fut, fn, args, kwargs = self._prio.popleft()
+                elif self._bg:
+                    fut, fn, args, kwargs = self._bg.popleft()
+                else:
+                    fut, fn, args, kwargs = self._idle.popleft()
             if not fut.set_running_or_notify_cancel():
                 continue
             try:
@@ -65,7 +69,7 @@ class DeviceExecutor:
             except BaseException as e:  # propagate to the submitting thread
                 fut.set_exception(e)
 
-    def run(self, fn, args=(), kwargs=None, priority=True):
+    def run(self, fn, args=(), kwargs=None, priority=True, idle=False):
         """Run fn on the device thread, blocking until it completes.
 
         Re-entrant: calls made from the device thread itself run inline
@@ -74,10 +78,9 @@ class DeviceExecutor:
             return fn(*args, **(kwargs or {}))
         self._ensure_thread()
         fut: Future = Future()
+        q = self._idle if idle else (self._prio if priority else self._bg)
         with self._cv:
-            (self._prio if priority else self._bg).append(
-                (fut, fn, args, kwargs or {})
-            )
+            q.append((fut, fn, args, kwargs or {}))
             self._cv.notify()
         return fut.result()
 
@@ -102,5 +105,18 @@ def locked_background(fn):
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
         return EXECUTOR.run(fn, args, kwargs, priority=False)
+
+    return wrapper
+
+
+def locked_idle(fn):
+    """Run the wrapped callable on the device thread (idle class): drained
+    only when BOTH the priority and background queues are empty — prewarm
+    tracing/compiles (~6 s each even on persistent-cache hits) must never
+    delay extraction, matching, or the mapper."""
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        return EXECUTOR.run(fn, args, kwargs, priority=False, idle=True)
 
     return wrapper

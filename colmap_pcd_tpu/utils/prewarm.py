@@ -80,7 +80,7 @@ def _load_file(path: str) -> list[dict]:
 from . import device_lock
 
 
-@device_lock.locked_background
+@device_lock.locked_idle
 def _compile_one(entry: dict):
     import jax
     import jax.numpy as jnp
