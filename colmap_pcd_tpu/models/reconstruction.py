@@ -146,9 +146,17 @@ class Reconstruction:
         # e.g. the mapper's lidar projection cache
         self.pose_epoch: dict[int, int] = {}
         self.mut_epoch: dict[int, int] = {}
+        # per-camera intrinsics change counter: projection caches depend on
+        # cam.params too, so refine_intrinsics write-backs must invalidate them
+        self.cam_params_epoch: dict[int, int] = {}
 
     def bump_pose(self, image_id: int):
         self.pose_epoch[image_id] = self.pose_epoch.get(image_id, 0) + 1
+
+    def bump_camera_params(self, camera_id: int):
+        self.cam_params_epoch[camera_id] = (
+            self.cam_params_epoch.get(camera_id, 0) + 1
+        )
 
     def _set_obs(self, image_id: int, p2d_idx: int, pid: int):
         """Single point of mutation for image.point3D_ids with observer

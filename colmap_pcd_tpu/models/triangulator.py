@@ -20,8 +20,14 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..ops import np_geom
-from ..utils import device_lock
 from .reconstruction import INVALID_POINT3D, Reconstruction
+
+# NOTE: triangulation is pure host-side numpy (np_geom) — it must NOT run as
+# a device-executor section (utils/device_lock): a long triangulation pass
+# would occupy the single device thread as a priority section and stall
+# queued background device work (matcher chunks, extraction batches) without
+# dispatching anything to the chip. Reconstruction state is only mutated from
+# the mapper thread, so no extra mutual exclusion is needed here.
 
 
 @dataclass
@@ -67,7 +73,6 @@ class IncrementalTriangulator:
         return float(np.linalg.norm(xy - img.xys[feat_idx]))
 
     # ------------------------------------------------------------------
-    @device_lock.locked
     def triangulate_image(self, options: TriangulatorOptions, image_id: int) -> int:
         """Create/continue tracks for all features of a registered image.
         Returns number of added observations (TriangulateImage,
@@ -446,7 +451,6 @@ class IncrementalTriangulator:
                 return False
         return True
 
-    @device_lock.locked
     def retriangulate(self, options: TriangulatorOptions) -> int:
         """Retriangulate under-reconstructed image pairs (Retriangulate,
         incremental_triangulator.cc:350-496): for every registered pair whose
