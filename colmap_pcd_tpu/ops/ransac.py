@@ -99,19 +99,23 @@ def ransac_pnp(
     # float would be its own multi-minute tunnel compile)
 ) -> PnPResult:
     """Absolute pose from 2D-3D matches (EstimateAbsolutePose parity,
-    estimators/pose.cc): P6P-DLT hypotheses + EPnP local optimization, plus
-    an optional fused Cauchy-GN pose polish (refine_iters > 0) replacing the
-    separate RefineAbsolutePose dispatch. max_error is in
-    normalized-coordinate units (divide pixel threshold by focal length, as
-    the reference does via camera.ImageToWorldThreshold)."""
+    estimators/pose.cc): P3P minimal hypotheses (quartic Gao solver, up to 4
+    poses per 3-point sample — P3PEstimator parity) + EPnP local
+    optimization, plus an optional fused Cauchy-GN pose polish
+    (refine_iters > 0) replacing the separate RefineAbsolutePose dispatch.
+    max_error is in normalized-coordinate units (divide pixel threshold by
+    focal length, as the reference does via camera.ImageToWorldThreshold)."""
     N = uv.shape[0]
     H = opts.num_hypotheses
-    idx = _draw_samples(key, valid, H, 6)
-
-    def solve_one(ii):
-        return solvers.p6p_dlt(uv[ii], X[ii])
-
-    qs, ts = jax.vmap(solve_one)(idx)  # [H,4],[H,3]
+    # 3-point minimal samples, up to 4 poses each -> an H-hypothesis bank
+    # from H/4 samples. Minimal samples maximize the all-inlier probability
+    # per hypothesis (vs the former 6-point DLT substitution).
+    ns = max(H // 4, 1)
+    idx = _draw_samples(key, valid, ns, 3)
+    qs, ts, hvalid = jax.vmap(lambda ii: solvers.p3p(uv[ii], X[ii]))(idx)
+    qs = qs.reshape(-1, 4)  # [H,4]
+    ts = ts.reshape(-1, 3)  # [H,3]
+    hvalid = hvalid.reshape(-1)  # [H]
 
     def resid(q, t):
         xc = se3.se3_apply(q, t, X)
@@ -122,8 +126,10 @@ def ransac_pnp(
         return jnp.where(zok, e, 1e12)
 
     errs = jax.vmap(resid)(qs, ts)  # [H,N]
+    errs = jnp.where(hvalid[:, None], errs, 1e12)  # degenerate samples
     thr2 = (opts.max_error if max_error is None else max_error) ** 2
     n_in, score = _score(errs, valid, thr2)
+    score = jnp.where(hvalid, score, -jnp.inf)
     best = jnp.argmax(score)
     q_b, t_b = qs[best], ts[best]
 

@@ -121,6 +121,140 @@ def p6p_dlt(uv: Array, X: Array) -> tuple[Array, Array]:
     return q, tt
 
 
+def p3p(uv: Array, X: Array) -> tuple[Array, Array, Array]:
+    """Quartic P3P (Gao's complete-classification form — the variant the
+    reference ships): up to 4 world->camera poses from 3 2D-3D matches.
+
+    uv [3,2] normalized camera coords, X [3,3] world points. Returns
+    (qs [4,4], ts [4,3], valid [4]). reference:
+    estimators/absolute_pose.cc:47-172 (P3PEstimator::Estimate).
+
+    TPU re-design: the quartic in the distance ratio x = |PA|/|PC| is rooted
+    with the batched Durand-Kerner of ops/polynomial (companion-matrix eig is
+    not TPU-lowerable), y = |PB|/|PC| follows in closed form, and the rigid
+    world->camera alignment is the existing umeyama (Kabsch) — all
+    branch-free and vmappable, so one fused dispatch solves a whole RANSAC
+    bank's minimal samples.
+    """
+    from . import polynomial as poly_ops
+
+    f = jnp.concatenate([uv, jnp.ones((3, 1), uv.dtype)], axis=-1)
+    f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)  # bearing vectors
+    u, v, w = f[0], f[1], f[2]
+    cos_uv = jnp.dot(u, v)
+    cos_uw = jnp.dot(u, w)
+    cos_vw = jnp.dot(v, w)
+    AB2 = jnp.sum((X[0] - X[1]) ** 2)
+    AC2 = jnp.sum((X[0] - X[2]) ** 2)
+    BC2 = jnp.sum((X[1] - X[2]) ** 2)
+    ab2 = jnp.maximum(AB2, 1e-12)
+    dist_AB = jnp.sqrt(ab2)
+    a = BC2 / ab2
+    b = AC2 / ab2
+    p = 2.0 * cos_vw
+    q = 2.0 * cos_uw
+    r = 2.0 * cos_uv
+    a2, b2 = a * a, b * b
+    p2, q2, r2 = p * p, q * q, r * r
+    p3_, r3 = p2 * p, r2 * r
+    r4, r5 = r3 * r, r3 * r2
+
+    # quartic in x (coefficients highest-degree first)
+    c4 = -2 * b + b2 + a2 + 1 + a * b * (2 - r2) - 2 * a
+    c3 = (
+        -2 * q * a2 - r * p * b2 + 4 * q * a + (2 * q + p * r) * b
+        + (r2 * q - 2 * q + r * p) * a * b - 2 * q
+    )
+    c2 = (
+        (2 + q2) * a2 + (p2 + r2 - 2) * b2 - (4 + 2 * q2) * a
+        - (p * q * r + p2) * b - (p * q * r + r2) * a * b + q2 + 2
+    )
+    c1 = (
+        -2 * q * a2 - r * p * b2 + 4 * q * a
+        + (p * r + q * p2 - 2 * q) * b + (r * p + 2 * q) * a * b - 2 * q
+    )
+    c0 = a2 + b2 - 2 * a + (2 - p2) * b - 2 * a * b + 1
+    roots, rvalid = poly_ops.real_roots(jnp.stack([c4, c3, c2, c1, c0]))
+
+    bb1 = (p2 - p * q * r + r2) * a + (p2 - r2) * b - p2 + p * q * r - r2
+    b1 = b * bb1 * bb1
+    b1_ok = jnp.abs(b1) > 1e-10
+    b1_safe = jnp.where(b1_ok, b1, 1.0)
+
+    def one(x, okroot):
+        ok = okroot & (x > 0.0) & b1_ok
+        x2 = x * x
+        x3 = x2 * x
+        b0 = ((1 - a - b) * x2 + (a - 1) * q * x - a + b + 1) * (
+            r3 * (a2 + b2 - 2 * a - 2 * b + (2 - r2) * a * b + 1) * x3
+            + r2 * (
+                p + p * a2 - 2 * r * q * a * b + 2 * r * q * b - 2 * r * q
+                - 2 * p * a - 2 * p * b + p * r2 * b + 4 * r * q * a
+                + q * r3 * a * b - 2 * r * q * a2 + 2 * p * a * b + p * b2
+                - r2 * p * b2
+            ) * x2
+            + (
+                r5 * (b2 - a * b) - r4 * p * q * b
+                + r3 * (q2 - 4 * a - 2 * q2 * a + q2 * a2 + 2 * a2 - 2 * b2 + 2)
+                + r2 * (
+                    4 * p * q * a - 2 * p * q * a * b + 2 * p * q * b
+                    - 2 * p * q - 2 * p * q * a2
+                )
+                + r * (
+                    p2 * b2 - 2 * p2 * b + 2 * p2 * a * b - 2 * p2 * a + p2
+                    + p2 * a2
+                )
+            ) * x
+            + (2 * p * r2 - 2 * r3 * q + p3_ - 2 * p2 * q * r + p * q2 * r2) * a2
+            + (p3_ - 2 * p * r2) * b2
+            + (
+                4 * q * r3 - 4 * p * r2 - 2 * p3_ + 4 * p2 * q * r
+                - 2 * p * q2 * r2
+            ) * a
+            + (-2 * q * r3 + p * r4 + 2 * p2 * q * r - 2 * p3_) * b
+            + (2 * p3_ + 2 * q * r3 - 2 * p2 * q * r) * a * b
+            + p * q2 * r2 - 2 * p2 * q * r + 2 * p * r2 + p3_ - 2 * r3 * q
+        )
+        y = b0 / b1_safe
+
+        # f32 rescue: the quartic/b0/b1 expressions are high-order and lose
+        # several digits in f32, so polish (x, y) with Newton on the two
+        # law-of-cosines constraints themselves (normalized by |PC|^2):
+        #   g1 = y^2 + 1 - p*y - a*nu,  g2 = x^2 + 1 - q*x - b*nu,
+        #   nu = x^2 + y^2 - r*x*y   — these are quadratic and
+        # well-conditioned where the quartic is not.
+        def newton(xy, _):
+            xx, yy = xy
+            nu_ = xx * xx + yy * yy - r * xx * yy
+            g1 = yy * yy + 1.0 - p * yy - a * nu_
+            g2 = xx * xx + 1.0 - q * xx - b * nu_
+            dnx = 2.0 * xx - r * yy
+            dny = 2.0 * yy - r * xx
+            j11 = -a * dnx
+            j12 = 2.0 * yy - p - a * dny
+            j21 = 2.0 * xx - q - b * dnx
+            j22 = -b * dny
+            det = j11 * j22 - j12 * j21
+            dsgn = jnp.where(det < 0.0, -1.0, 1.0)  # sign-preserving floor
+            det = dsgn * jnp.maximum(jnp.abs(det), 1e-12)
+            dx = (g1 * j22 - g2 * j12) / det
+            dy = (g2 * j11 - g1 * j21) / det
+            return (xx - dx, yy - dy), None
+
+        (x, y), _ = jax.lax.scan(newton, (x, y), None, length=3)
+        nu = x * x + y * y - 2 * x * y * cos_uv
+        ok = ok & (nu > 1e-12) & (x > 0.0) & (y > 0.0)
+        dist_PC = dist_AB / jnp.sqrt(jnp.maximum(nu, 1e-12))
+        Xc = jnp.stack([u * (x * dist_PC), v * (y * dist_PC), w * dist_PC])
+        qq, tt, _ = umeyama(X, Xc, with_scale=False)
+        ok = ok & jnp.all(jnp.isfinite(qq)) & jnp.all(jnp.isfinite(tt))
+        ident = jnp.asarray([1.0, 0.0, 0.0, 0.0], uv.dtype)
+        return jnp.where(ok, qq, ident), jnp.where(ok, tt, 0.0), ok
+
+    qs, ts, vs = jax.vmap(one)(roots, rvalid)
+    return qs, ts, vs
+
+
 def epnp(uv: Array, X: Array, mask: Array | None = None) -> tuple[Array, Array]:
     """EPnP (N=1 nullspace case) + Procrustes, for non-minimal refits.
 
@@ -462,7 +596,13 @@ def five_point(uv1: Array, uv2: Array) -> tuple[Array, Array]:
         d2 = pxv[pairs[:, 0]] * pyv[pairs[:, 1]] - pxv[pairs[:, 1]] * pyv[pairs[:, 0]]
         k = jnp.argmax(jnp.abs(d2))
         a, b = pairs[k, 0], pairs[k, 1]
-        det2 = jnp.where(jnp.abs(d2[k]) < 1e-12, 1e-12, d2[k])
+        # sign-preserving floor: replacing a tiny NEGATIVE determinant with
+        # +1e-12 would flip the sign of (x, y) and emit a sign-corrupted E
+        # that wastes a hypothesis-bank slot; keep the sign and mark the root
+        # invalid when even the best row pair is degenerate.
+        sgn = jnp.where(d2[k] < 0.0, -1.0, 1.0)
+        det2 = sgn * jnp.maximum(jnp.abs(d2[k]), 1e-12)
+        ok = ok & (jnp.abs(d2[k]) >= 1e-12)
         x = (-pcv[a] * pyv[b] + pcv[b] * pyv[a]) / det2
         y = (pcv[a] * pxv[b] - pcv[b] * pxv[a]) / det2
         Ez = x * Eb[0] + y * Eb[1] + z * Eb[2] + Eb[3]

@@ -69,6 +69,27 @@ def test_p6p_dlt_exact(rng):
     np.testing.assert_allclose(t_e, t, atol=1e-3)
 
 
+def test_p3p_exact(rng):
+    """P3P recovers the true pose as one of its (up to 4) solutions
+    (P3PEstimator parity, estimators/absolute_pose.cc:47-172)."""
+    hits = 0
+    for _ in range(20):
+        q, t, X, uv = make_pnp_scene(rng, n=3)
+        qs, ts, vs = jax.jit(solvers.p3p)(uv, X)
+        best = np.inf
+        for k in range(4):
+            if not bool(vs[k]):
+                continue
+            dq = float(se3.angle_between(qs[k], q))
+            dt = float(jnp.linalg.norm(ts[k] - t))
+            best = min(best, dq + dt)
+        if best < 2e-2:
+            hits += 1
+    # f32 quartic rooting loses a marginal sample occasionally; RANSAC
+    # scoring + EPnP LO absorb those
+    assert hits >= 18, hits
+
+
 def test_epnp_noisy(rng):
     q, t, X, uv = make_pnp_scene(rng, n=50)
     uv_n = uv + jnp.asarray(rng.normal(0, 5e-4, uv.shape).astype(np.float32))
