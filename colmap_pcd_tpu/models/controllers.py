@@ -16,9 +16,7 @@ import os
 import time
 from dataclasses import dataclass
 
-from ..utils.logging_utils import PhaseTimer
-
-PHASES = PhaseTimer()  # process-global phase accounting (report via PHASES.report())
+from ..utils.logging_utils import PHASES
 
 import numpy as np
 

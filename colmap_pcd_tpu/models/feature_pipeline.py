@@ -31,6 +31,7 @@ from ..ops import np_geom
 from ..ops import sift as sift_ops
 from ..utils import device_lock
 from ..utils import image as image_utils
+from ..utils import prewarm
 from ..utils.config import SiftExtractionConfig, SiftMatchingConfig
 from ..utils.threading_utils import pipeline_map
 from .database import Database
@@ -141,6 +142,10 @@ def run_feature_extractor(
             while len(stack) < 4:  # constant B=4: one compiled batch shape
                 stack.append(stack[-1])
             imgs = jnp.asarray(np.stack(stack))
+            prewarm.record(
+                "sift", B=imgs.shape[0], H=imgs.shape[1], W=imgs.shape[2],
+                opts=opts._asdict(),
+            )
             kp_b, desc_b, score_b, valid_b = sift_ops.extract_batch(imgs, opts)
             kp_b, desc_b, valid_b = jax.device_get(
                 (kp_b, sift_ops.descriptors_to_uint8(desc_b), valid_b)
@@ -372,6 +377,7 @@ class _MatchWorker:
             cross_check=self.cfg.cross_check,
             guided_max_error=self.cfg.max_error,
         )
+        prewarm.record("match", B=B, cap=int(cap), opts=mopts._asdict())
         idx_b, ok_b, sim_b = _match_descriptors_batch(
             jnp.stack(d1s), jnp.stack(d2s), jnp.stack(v1s), jnp.stack(v2s), mopts
         )

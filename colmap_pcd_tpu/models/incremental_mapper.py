@@ -42,6 +42,7 @@ from ..ops import np_geom
 from ..ops import ransac as ransac_ops
 from ..utils import prewarm
 from ..utils import device_lock
+from ..utils.logging_utils import PHASES
 from .correspondence_graph import CorrespondenceGraph
 from .lidar_map import LidarMap
 from .reconstruction import (
@@ -168,7 +169,7 @@ class IncrementalMapper:
         )
         # per-image depth-projection cache for the current BA round
         # (lidar_searched_image_ids_, bundle_adjustment.h:189)
-        self._proj_cache: dict[int, tuple[tuple[int, int], dict]] = {}
+        self._proj_cache: dict[int, tuple[tuple[int, int, int], dict]] = {}
         # optional (mesh, axis): route every BA solve through the
         # distributed Schur solver (parallel/dist_ba.py) over this mesh
         self.dist_mesh: tuple | None = None
@@ -185,10 +186,16 @@ class IncrementalMapper:
         img = self.rec.images[image_id]
         return self.rec.cameras[img.camera_id]
 
-    def _proj_stamp(self, image_id: int) -> tuple[int, int]:
+    def _proj_stamp(self, image_id: int) -> tuple[int, int, int]:
+        # (pose, triangulated-feature-set, camera-intrinsics) change epochs:
+        # project_to_image depends on all three, so an intrinsics refinement
+        # (rec.bump_camera_params) invalidates entries exactly like a pose write
         return (
             self.rec.pose_epoch.get(image_id, 0),
             self.rec.mut_epoch.get(image_id, 0),
+            self.rec.cam_params_epoch.get(
+                self.rec.images[image_id].camera_id, 0
+            ),
         )
 
     def _proj_cached(self, image_id: int):
@@ -926,8 +933,6 @@ class IncrementalMapper:
     def adjust_local_bundle(
         self, opts: MapperOptions, image_id: int, point3D_ids: set[int]
     ) -> LocalBAReport:
-        from .controllers import PHASES
-
         report = LocalBAReport()
         with PHASES.phase("find_local_bundle"):
             local_bundle = self.find_local_bundle(opts, image_id)
@@ -1143,6 +1148,8 @@ class IncrementalMapper:
         by the sphere rather than the whole scene.
         """
         rec = self.rec
+        _t_assemble = PHASES.phase("ba_assemble")
+        _t_assemble.__enter__()
         bundle_set = set(bundle_images)
         # collect observations, vectorized per image: bundle images observe
         # all their points (unless variable_obs_only); other registered images
@@ -1309,27 +1316,36 @@ class IncrementalMapper:
             refine_focal=refine_focal,
             refine_principal=refine_principal,
             refine_extra=refine_extra,
-            # keep the per-chunk pair tensor [chunk, T, T, 6, 6] bounded
-            # (~75 MB) as track-length buckets grow on big scenes
-            point_chunk=max(32, (512 * 256) // (T * T)),
+            # chunk sizing: the aggregate-first Schur reduction materializes
+            # a [chunk, T, nb] one-hot per chunk — budget it at ~64 MB so
+            # big problems run a handful of large MXU-friendly chunks
+            # instead of hundreds of tiny scan steps
+            point_chunk=int(np.clip(
+                (1 << 24) // max(T * max(
+                    num_pose_blocks if num_pose_blocks > 0 else C, 1
+                ), 1),
+                32, 4096,
+            )),
         )
-        if self.dist_mesh is not None:
-            from ..parallel import dist_ba
+        _t_assemble.__exit__()
+        with PHASES.phase("ba_device"):
+            if self.dist_mesh is not None:
+                from ..parallel import dist_ba
 
-            mesh, axis = self.dist_mesh
-            out = dist_ba.solve_distributed(prob, cfg, mesh, axis)
-        else:
-            prewarm.record(
-                "ba", C=C, P=P, N=N, T=T, K=intr.shape[0],
-                npb=bool(num_pose_blocks), cfg=cfg._asdict(),
+                mesh, axis = self.dist_mesh
+                out = dist_ba.solve_distributed(prob, cfg, mesh, axis)
+            else:
+                prewarm.record(
+                    "ba", C=C, P=P, N=N, T=T, K=intr.shape[0],
+                    npb=bool(num_pose_blocks), cfg=cfg._asdict(),
+                )
+                out = ba_ops.solve(prob, cfg)
+            # ONE batched device->host fetch: each separate np.asarray/float()
+            # is its own ~25 ms round trip through the axon tunnel
+            q_out, t_out, intr_out, p_out, init_c, fin_c, iters = jax.device_get(
+                (out.cam_q, out.cam_t, out.intr, out.points,
+                 out.initial_cost, out.final_cost, out.iterations)
             )
-            out = ba_ops.solve(prob, cfg)
-        # ONE batched device->host fetch: each separate np.asarray/float()
-        # is its own ~25 ms round trip through the axon tunnel
-        q_out, t_out, intr_out, p_out, init_c, fin_c, iters = jax.device_get(
-            (out.cam_q, out.cam_t, out.intr, out.points,
-             out.initial_cost, out.final_cost, out.iterations)
-        )
         from ..utils.flops import FLOPS, ba_solve_flops
 
         FLOPS.add(
@@ -1352,6 +1368,7 @@ class IncrementalMapper:
                 cam = rec.cameras[cid]
                 n = len(cam.params)
                 cam.params = new_params[k, :n].copy()
+                rec.bump_camera_params(cid)
         p_out = np.asarray(p_out, np.float64)
         free = np.nonzero(point_fixed[: uniq_pids.size] == 0.0)[0]
         for s in free:

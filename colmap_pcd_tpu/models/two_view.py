@@ -353,6 +353,9 @@ def estimate_two_view_geometry_batch(
     ro = ransac_ops.RansacOptions(
         max_error=opts.max_error, num_hypotheses=opts.num_hypotheses
     )
+    from ..utils import prewarm
+
+    prewarm.record("efh", B=B, cap=int(cap), opts=ro._asdict())
     resE, resF, resH = _ransac_efh_batch(
         jnp.asarray(n1), jnp.asarray(n2), jnp.asarray(uv1), jnp.asarray(uv2),
         jnp.asarray(valid), jnp.asarray(seeds), ro, jnp.asarray(e_errs),
@@ -409,6 +412,11 @@ def estimate_two_view_geometry_batch(
 
     if pose_rows:
         sel = np.asarray([b for b, *_ in pose_rows])
+        # pad the survivor selection to the full chunk B: a distinct batch
+        # size would otherwise be a distinct multi-minute tunnel compile of
+        # the pose-recovery program per survivor count (1..B)
+        if sel.size < B:
+            sel = np.concatenate([sel, np.full(B - sel.size, sel[0], sel.dtype)])
         q_all, t_all, ang_all, z1_all, z2_all = _pose_recovery_batch(
             jnp.asarray(E_all[sel], jnp.float32),
             jnp.asarray(n1[sel]), jnp.asarray(n2[sel]),

@@ -546,21 +546,32 @@ def _gn_system(problem: BAProblem, cfg: BAConfig, cam_q, cam_t, intr, points, la
         z0 = precond(grad)
 
         def cg_cond(st):
-            _x, r, _p, _rz, it = st
-            return (it < cfg.pcg_max_iterations) & (
-                jnp.sum(r * r) > cfg.pcg_rtol**2 * bnorm2
+            _x, r, _p, _rz, it, done = st
+            return (
+                ~done
+                & (it < cfg.pcg_max_iterations)
+                & (jnp.sum(r * r) > cfg.pcg_rtol**2 * bnorm2)
             )
 
         def cg_body(st):
-            x, r, p, rz, it = st
+            x, r, p, rz, it, done = st
             Ap = matvec(p)
-            alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-30)
+            pAp = jnp.sum(p * Ap)
+            # negative-curvature / rounding guard (standard truncated-CG):
+            # the damped Schur operator and the SPD preconditioner make
+            # pAp, rz >= 0 in exact arithmetic, but f32 rounding near
+            # convergence can flip them tiny-negative — a 1e-30 clamp would
+            # then produce an enormous (finite) step. Stop with the current
+            # iterate instead.
+            bad = (pAp <= 0.0) | (rz <= 0.0)
+            alpha = jnp.where(bad, 0.0, rz / jnp.where(bad, 1.0, pAp))
             x = x + alpha * p
             r = r - alpha * Ap
             z = precond(r)
             rz2 = jnp.sum(r * z)
-            p = z + (rz2 / jnp.maximum(rz, 1e-30)) * p
-            return x, r, p, rz2, it + 1
+            beta = jnp.where(bad, 0.0, rz2 / jnp.where(bad, 1.0, rz))
+            p = z + beta * p
+            return x, r, p, rz2, it + 1, bad
 
         dx_cam, *_ = jax.lax.while_loop(
             cg_cond,
@@ -571,6 +582,7 @@ def _gn_system(problem: BAProblem, cfg: BAConfig, cam_q, cam_t, intr, points, la
                 z0,
                 jnp.sum(grad * z0),
                 jnp.asarray(0, jnp.int32),
+                jnp.asarray(False),
             ),
         )
         ok = jnp.all(jnp.isfinite(dx_cam))
@@ -625,31 +637,50 @@ def _gn_system(problem: BAProblem, cfg: BAConfig, cam_q, cam_t, intr, points, la
                 JtJ.reshape(M, 6, 6),
             )
         else:
+            # single role: each observation touches only its own DIAGONAL
+            # block (blk_o, blk_o) — aggregate per block with one [N, nb]
+            # one-hot matmul and place on the block diagonal (a unique-index
+            # scatter), instead of an [N, nb^2] one-hot or duplicate scatter.
             JtJ = jnp.einsum("nri,nrj->nij", Jc, Jc, precision=_HI)
-            S = scatter_block(S, blk, blk, JtJ)
+            oh = jax.nn.one_hot(blk, nb, dtype=JtJ.dtype)  # [N, nb]
+            Sdiag = jnp.einsum("mk,mij->kij", oh, JtJ, precision=_HI)  # [nb,6,6]
+            dridx = jnp.arange(nb)[:, None, None] * 6 + i6[None, :, None]
+            dcidx = jnp.arange(nb)[:, None, None] * 6 + i6[None, None, :]
+            S = S.at[dridx, dcidx].add(Sdiag)
 
         Jtr = jnp.einsum("mri,mr->mi", Jcam, r3, precision=_HI)  # [3N or N, 6]
         b = scatter_rhs(b, blk, -Jtr)
 
+        # capture diag(B) (pre-elimination camera Hessian diagonal) BEFORE the
+        # point-elimination scan subtracts W Hpp^-1 W^T: LM damping uses the
+        # same diagonal in both the dense and PCG tiers (Ceres convention —
+        # damp H before elimination), so "auto" tier selection does not change
+        # step-size behavior when a problem crosses dense_max_pose_blocks.
+        diagB_dense = jnp.diagonal(S)
+
         def chunk_body(carry, pstart):
             S, b = carry
             Wg, blkg, Hinv, bp = ent_tables(pstart)
-            Tn = Wg.shape[1]
-            # Y_a = W_a Hinv [c,Tn,6,3]; pair products Y_a W_b^T [c,Tn,Tn,6,6]
+            # Y_a = W_a Hinv [c,Tn,6,3]. The Schur reduction
+            # sum_a sum_b Y_a W_b^T scattered at block pairs (blk_a, blk_b)
+            # FACTORIZES per point: with A_n = sum_{a: blk=n} Y_a and
+            # B_m = sum_{b: blk=m} W_b, the contribution to block (n, m) is
+            # A_n B_m^T. Aggregating first turns the former [c,Tn,Tn,6,6]
+            # pair tensor + c*Tn^2-row one-hot scatter over nb^2 (~10 TF per
+            # GN build at T=64, nb=64 — the dominant cost of global solves)
+            # into two cheap [c,Tn,nb] one-hot matmuls and ONE O(c nb^2)
+            # block einsum.
             Y = jnp.einsum("ctij,cjk->ctik", Wg, Hinv, precision=_HI)
-            pair = jnp.einsum(
-                "ctik,cukl->ctuil", Y, jnp.swapaxes(Wg, -1, -2), precision=_HI
-            )
-            M = csize * Tn * Tn
-            rows = jnp.repeat(blkg, Tn, axis=1).reshape(M)
-            cols = jnp.tile(blkg, (1, Tn)).reshape(M)
-            S = scatter_block(S, rows, cols, -pair.reshape(M, 6, 6))
+            ohg = jax.nn.one_hot(blkg, nb, dtype=Y.dtype)  # [c,Tn,nb]
+            A = jnp.einsum("ctn,ctik->cnik", ohg, Y, precision=_HI)
+            Bw = jnp.einsum("ctn,ctik->cnik", ohg, Wg, precision=_HI)
+            Sred = jnp.einsum("cnik,cmjk->nimj", A, Bw, precision=_HI)
+            S = S - Sred.reshape(D, D)
 
-            # rhs reduction: b -= Y_a b_p
-            yb = jnp.einsum("ctik,ck->cti", Y, bp, precision=_HI).reshape(
-                csize * Tn, 6
-            )
-            b = scatter_rhs(b, blkg.reshape(-1), -yb)
+            # rhs reduction: b -= Y_a b_p, aggregated per block
+            yb = jnp.einsum("ctik,ck->cti", Y, bp, precision=_HI)  # [c,Tn,6]
+            byb = jnp.einsum("ctn,cti->ni", ohg, yb, precision=_HI)  # [nb,6]
+            b = b - byb.reshape(D)
             return (S, b), None
 
         (S, b), _ = jax.lax.scan(chunk_body, (S, b), jnp.arange(nchunks) * csize)
@@ -660,12 +691,12 @@ def _gn_system(problem: BAProblem, cfg: BAConfig, cam_q, cam_t, intr, points, la
         if psum_axis is not None:
             S = jax.lax.psum(S, psum_axis)
             b = jax.lax.psum(b, psum_axis)
+            diagB_dense = jax.lax.psum(diagB_dense, psum_axis)
 
         # ---- damping + gauge/padding regularization ------------------------
-        diagS = jnp.diagonal(S)
-        S = S + jnp.diag(lam * diagS + 1e-8)
+        S = S + jnp.diag(lam * diagB_dense + 1e-8)
         # unit diagonal where a block has no residuals (padding, fixed poses)
-        dead = (jnp.abs(diagS) < 1e-10).astype(jnp.float32)
+        dead = (jnp.abs(diagB_dense) < 1e-10).astype(jnp.float32)
         S = S + jnp.diag(dead)
 
         # Jacobi scaling for f32 conditioning

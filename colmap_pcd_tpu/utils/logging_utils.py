@@ -90,3 +90,8 @@ class _Phase:
         dt = time.time() - self.t0
         self.pt.totals[self.name] = self.pt.totals.get(self.name, 0.0) + dt
         self.pt.counts[self.name] = self.pt.counts.get(self.name, 0) + 1
+
+
+# process-global phase accounting (SURVEY.md §5.1); controllers and the
+# mapper both record into this one instance, bench.py prints the report
+PHASES = PhaseTimer()

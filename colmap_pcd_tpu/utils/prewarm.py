@@ -164,6 +164,50 @@ def _compile_one(entry: dict):
             jnp.zeros((M,), jnp.float32),
         )
         jax.block_until_ready(out[0])
+    elif kind == "sift":
+        from ..ops import sift as sift_ops
+
+        B, H, W = entry["B"], entry["H"], entry["W"]
+        opts = sift_ops.SiftOptions(**entry["opts"])
+        sift_ops.extract_batch.lower(
+            jnp.zeros((B, H, W), jnp.float32), opts
+        ).compile()
+    elif kind == "match":
+        from ..models.feature_pipeline import _match_descriptors_batch
+        from ..ops.matching import MatchingOptions
+
+        B, cap = entry["B"], entry["cap"]
+        mopts = MatchingOptions(**entry["opts"])
+        _match_descriptors_batch.lower(
+            jnp.zeros((B, cap, 128), jnp.float32),
+            jnp.zeros((B, cap, 128), jnp.float32),
+            jnp.zeros((B, cap), jnp.float32),
+            jnp.zeros((B, cap), jnp.float32),
+            mopts,
+        ).compile()
+    elif kind == "efh":
+        from ..models import two_view as tv
+        from ..ops import ransac as ransac_ops
+
+        B, cap = entry["B"], entry["cap"]
+        ro = ransac_ops.RansacOptions(**entry["opts"])
+        tv._ransac_efh_batch.lower(
+            jnp.zeros((B, cap, 2), jnp.float32),
+            jnp.zeros((B, cap, 2), jnp.float32),
+            jnp.zeros((B, cap, 2), jnp.float32),
+            jnp.zeros((B, cap, 2), jnp.float32),
+            jnp.zeros((B, cap), jnp.float32),
+            jnp.zeros((B,), jnp.uint32),
+            ro,
+            jnp.ones((B,), jnp.float32),
+            jnp.zeros((B, cap), jnp.float32),
+        ).compile()
+        tv._pose_recovery_batch.lower(
+            jnp.zeros((B, 3, 3), jnp.float32),
+            jnp.zeros((B, cap, 2), jnp.float32),
+            jnp.zeros((B, cap, 2), jnp.float32),
+            jnp.zeros((B, cap), jnp.float32),
+        ).compile()
 
 
 def replay(paths: list[str] | None = None, background: bool = True,
