@@ -42,6 +42,10 @@ import functools
 import jax
 
 
+# extraction device batch size (a constant: each distinct B is one compile)
+_EXTRACT_BATCH = 8
+
+
 @functools.partial(jax.jit, static_argnames=("mopts",))
 def _match_descriptors_batch(d1, d2, v1, v2, mopts):
     """vmapped descriptor matching over a pair block [B,N,128]."""
@@ -107,7 +111,7 @@ def run_feature_extractor(
         out = []
         for name in batch:
             path = os.path.join(image_path, name)
-            img = image_utils.imread_gray(path)
+            img = image_utils.imread_gray_u8(path)
             H0, W0 = img.shape
             # EXIF-based focal prior (ImageReader + camera_database semantics,
             # base/image_reader.cc / util/bitmap.cc ExifFocalLength)
@@ -139,12 +143,12 @@ def run_feature_extractor(
         shapes = {d[0].shape for d in data}
         if len(data) > 1 and len(shapes) == 1:
             stack = [d[0] for d in data]
-            while len(stack) < 4:  # constant B=4: one compiled batch shape
+            while len(stack) < _EXTRACT_BATCH:  # constant B: one batch shape
                 stack.append(stack[-1])
             imgs = jnp.asarray(np.stack(stack))
             prewarm.record(
                 "sift", B=imgs.shape[0], H=imgs.shape[1], W=imgs.shape[2],
-                opts=opts._asdict(),
+                dtype=str(imgs.dtype), opts=opts._asdict(),
             )
             kp_b, desc_b, score_b, valid_b = sift_ops.extract_batch(imgs, opts)
             kp_b, desc_b, valid_b = jax.device_get(
@@ -197,8 +201,13 @@ def run_feature_extractor(
         db.write_descriptors(iid, desc)
         db.commit()
 
-    # batches of 4: same-shape groups extract as one vmapped device dispatch
-    batches = [names[i : i + 4] for i in range(0, len(names), 4)]
+    # same-shape groups extract as one vmapped device dispatch; B=8 amortizes
+    # the tunnel round trips (SIFT compute is ~1 ms/image; per-dispatch
+    # latency + transfer dominate)
+    batches = [
+        names[i : i + _EXTRACT_BATCH]
+        for i in range(0, len(names), _EXTRACT_BATCH)
+    ]
     pipeline_map(batches, produce, consume, device_stage, num_io_threads=num_io_threads)
     db.close()
     return len(names)

@@ -139,6 +139,15 @@ def _bilinear(img: Array, xy: Array, lidx: Array | None = None, wh=None) -> Arra
     return v * inb
 
 
+def _shift2d(x: Array, dy: int, dx: int) -> Array:
+    """out[..., y, x] = x[..., y+dy, x+dx], zeros outside — pad+slice, never
+    jnp.roll (roll lowers to concatenate, which XLA materializes as
+    tile-padded batch-minor copies of the whole stack under vmap)."""
+    H, W = x.shape[-2], x.shape[-1]
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(1, 1), (1, 1)])
+    return xp[..., 1 + dy : 1 + dy + H, 1 + dx : 1 + dx + W]
+
+
 def _extrema_candidates(dog: Array, opts: SiftOptions):
     """dog [S+2, H, W] -> per-level extrema score map [S, H, W] (0 = not)."""
     Sp2, H, W = dog.shape
@@ -153,14 +162,15 @@ def _extrema_candidates(dog: Array, opts: SiftOptions):
     is_max = (center >= mx[1:-1]) & (center > opts.peak_threshold)
     is_min = (center <= mn[1:-1]) & (center < -opts.peak_threshold)
 
-    # edge response gate on the spatial Hessian
-    dxx = jnp.roll(center, -1, 2) + jnp.roll(center, 1, 2) - 2 * center
-    dyy = jnp.roll(center, -1, 1) + jnp.roll(center, 1, 1) - 2 * center
+    # edge response gate on the spatial Hessian (borders are excluded by the
+    # margin below, so the zero boundary of _shift2d is inert)
+    dxx = _shift2d(center, 0, 1) + _shift2d(center, 0, -1) - 2 * center
+    dyy = _shift2d(center, 1, 0) + _shift2d(center, -1, 0) - 2 * center
     dxy = 0.25 * (
-        jnp.roll(jnp.roll(center, -1, 1), -1, 2)
-        + jnp.roll(jnp.roll(center, 1, 1), 1, 2)
-        - jnp.roll(jnp.roll(center, -1, 1), 1, 2)
-        - jnp.roll(jnp.roll(center, 1, 1), -1, 2)
+        _shift2d(center, 1, 1)
+        + _shift2d(center, -1, -1)
+        - _shift2d(center, 1, -1)
+        - _shift2d(center, -1, 1)
     )
     tr = dxx + dyy
     det = dxx * dyy - dxy * dxy
@@ -234,9 +244,22 @@ def _orientation_and_descriptor(G, kx, ky, sigma_rel, opts, lidx=None, wh=None):
     level. kx/ky [K] are octave-resolution coords, sigma_rel [K]. wh gives
     per-keypoint valid extents when G planes are padded to a common shape."""
     K = kx.shape[0]
-    # gradient maps (per level — cheap elementwise ops over the stack)
-    gx = 0.5 * (jnp.roll(G, -1, -1) - jnp.roll(G, 1, -1))
-    gy = 0.5 * (jnp.roll(G, -1, -2) - jnp.roll(G, 1, -2))
+    # gradient maps (per level — cheap elementwise ops over the stack).
+    # NOTE: slice+pad central differences, NOT jnp.roll — roll lowers to a
+    # concatenate of two slices, and under vmap XLA materializes those as
+    # batch-minor-layout copies of the whole [B,L,H,W] stack (measured 10.7x
+    # tile-padding expansion and ~1.8 s/batch of pure copy time; the former
+    # extraction bottleneck). Borders get zero gradient (roll wrapped around,
+    # which was wrong there anyway; detection enforces a border margin).
+    nd = G.ndim
+    gx = jnp.pad(
+        0.5 * (G[..., :, 2:] - G[..., :, :-2]),
+        [(0, 0)] * (nd - 1) + [(1, 1)],
+    )
+    gy = jnp.pad(
+        0.5 * (G[..., 2:, :] - G[..., :-2, :]),
+        [(0, 0)] * (nd - 2) + [(1, 1), (0, 0)],
+    )
     mag = jnp.sqrt(gx * gx + gy * gy)
     ang = jnp.arctan2(gy, gx)  # [-pi, pi]
 
@@ -354,6 +377,10 @@ def extract(image: Array, opts: SiftOptions = SiftOptions()):
     scores [K], valid [K] bool), K = opts.max_num_features."""
     S = opts.octave_resolution
     img = image.astype(jnp.float32)
+    if image.dtype == jnp.uint8:
+        # the extraction pipeline ships uint8 through the tunnel (4x less
+        # transfer than f32) and normalizes here, on-chip
+        img = img * (1.0 / 255.0)
 
     if opts.first_octave < 0:
         base = _upsample2(img)

@@ -15,6 +15,16 @@ def imread_gray(path: str) -> np.ndarray:
         return np.asarray(g, np.float32) / 255.0
 
 
+def imread_gray_u8(path: str) -> np.ndarray:
+    """Read an image as uint8 grayscale — the extraction pipeline ships
+    uint8 to the device (4x less host->device traffic than f32 through the
+    tunnel) and normalizes on-chip."""
+    from PIL import Image as PILImage
+
+    with PILImage.open(path) as im:
+        return np.asarray(im.convert("L"), np.uint8)
+
+
 def imread_rgb(path: str) -> np.ndarray:
     from PIL import Image as PILImage
 
@@ -35,9 +45,10 @@ def resize_max(img: np.ndarray, max_size: int) -> tuple[np.ndarray, float]:
     arr = (img * 255).astype(np.uint8) if img.dtype != np.uint8 else img
     pil = PILImage.fromarray(arr)
     out = pil.resize((int(W * scale), int(H * scale)), PILImage.LANCZOS)
-    out = np.asarray(out, np.float32)
-    if img.dtype != np.uint8:
-        out = out / 255.0
+    if img.dtype == np.uint8:
+        out = np.asarray(out, np.uint8)  # uint8 in -> uint8 out
+    else:
+        out = np.asarray(out, np.float32) / 255.0
     return out, scale
 
 

@@ -169,9 +169,8 @@ def _compile_one(entry: dict):
 
         B, H, W = entry["B"], entry["H"], entry["W"]
         opts = sift_ops.SiftOptions(**entry["opts"])
-        sift_ops.extract_batch.lower(
-            jnp.zeros((B, H, W), jnp.float32), opts
-        ).compile()
+        dt = jnp.uint8 if entry.get("dtype", "uint8") == "uint8" else jnp.float32
+        sift_ops.extract_batch.lower(jnp.zeros((B, H, W), dt), opts).compile()
     elif kind == "match":
         from ..models.feature_pipeline import _match_descriptors_batch
         from ..ops.matching import MatchingOptions
