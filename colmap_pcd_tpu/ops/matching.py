@@ -28,6 +28,7 @@ class MatchingOptions(NamedTuple):
     guided_max_error: float = 4.0  # px, for guided matching
 
 
+@jax.jit
 def normalize_descriptors(d: Array) -> Array:
     """L2-normalize rows (uint8 COLMAP descriptors or raw floats)."""
     d = d.astype(jnp.float32)
