@@ -294,12 +294,24 @@ def _obs_jacobians(problem: BAProblem, cfg: BAConfig, cam_q, cam_t, intr, points
     z3 = jnp.zeros((3,), jnp.float32)
     z12 = jnp.zeros((12,), jnp.float32)
 
-    def per_obs(q, t, k, X, uv, mi, kmask):
-        r = f(z6, z3, z12, q, t, k, X, uv, mi, kmask)
-        Jc, Jp, Jk = jax.jacfwd(f, argnums=(0, 1, 2))(z6, z3, z12, q, t, k, X, uv, mi, kmask)
-        return r, Jc, Jp, Jk
+    if cfg.refine_intrinsics:
 
-    r, Jc, Jp, Jk = jax.vmap(per_obs)(q, t, k, X, uv, midx, kmask_per_obs)
+        def per_obs(q, t, k, X, uv, mi, kmask):
+            r = f(z6, z3, z12, q, t, k, X, uv, mi, kmask)
+            Jc, Jp, Jk = jax.jacfwd(f, argnums=(0, 1, 2))(z6, z3, z12, q, t, k, X, uv, mi, kmask)
+            return r, Jc, Jp, Jk
+
+        r, Jc, Jp, Jk = jax.vmap(per_obs)(q, t, k, X, uv, midx, kmask_per_obs)
+    else:
+        # intrinsics frozen: the 12 intrinsics tangents are 12 of 21 forward
+        # passes — skip them entirely (every incremental-mapper solve)
+        def per_obs(q, t, k, X, uv, mi, kmask):
+            r = f(z6, z3, z12, q, t, k, X, uv, mi, kmask)
+            Jc, Jp = jax.jacfwd(f, argnums=(0, 1))(z6, z3, z12, q, t, k, X, uv, mi, kmask)
+            return r, Jc, Jp
+
+        r, Jc, Jp = jax.vmap(per_obs)(q, t, k, X, uv, midx, kmask_per_obs)
+        Jk = None
 
     # robust IRLS sqrt-weighting
     sq = jnp.sum(r * r, axis=-1)
@@ -307,7 +319,6 @@ def _obs_jacobians(problem: BAProblem, cfg: BAConfig, cam_q, cam_t, intr, points
     r = r * w[:, None]
     Jc = Jc * w[:, None, None]
     Jp = Jp * w[:, None, None]
-    Jk = Jk * w[:, None, None]
 
     # freeze poses / tvec components / points / intrinsics
     pf = 1.0 - problem.pose_fixed[problem.obs_cam]  # [N]
@@ -315,7 +326,9 @@ def _obs_jacobians(problem: BAProblem, cfg: BAConfig, cam_q, cam_t, intr, points
     cmask = jnp.concatenate([jnp.broadcast_to(pf[:, None], (pf.shape[0], 3)), tv], axis=-1)
     Jc = Jc * (pf[:, None, None] * jnp.ones((1, 1, 6))) * cmask[:, None, :]
     Jp = Jp * (1.0 - problem.point_fixed[problem.obs_pt])[:, None, None]
-    Jk = Jk * (1.0 - problem.intr_fixed[kcam])[:, None, None]
+    if Jk is not None:
+        Jk = Jk * w[:, None, None]
+        Jk = Jk * (1.0 - problem.intr_fixed[kcam])[:, None, None]
     return r, Jc, Jp, Jk
 
 
@@ -422,39 +435,59 @@ def _gn_system(problem: BAProblem, cfg: BAConfig, cam_q, cam_t, intr, points, la
     i6 = jnp.arange(6)
 
     # ---- Schur reduction chunk tables (shared by dense & PCG paths) --------
-    # pt_obs indexes into obs arrays [N]; for each role we know the entry
-    # index is role*N + obs_idx. Build per-point entry tables [P, T*roles].
-    pt_obs = problem.pt_obs  # [P,T], -1 padded
-    valid_e = (pt_obs >= 0).astype(jnp.float32)  # [P,T]
-    safe_obs = jnp.maximum(pt_obs, 0)
-
+    # The former per-chunk W[ent] gathers of [P,Tn] 72-byte rows ran at
+    # ~1.5 GB/s effective and dominated every GN step at global shapes.
+    # Instead: invert pt_obs ONCE (loop-invariant — XLA hoists it out of the
+    # LM while-loop) into a per-entry slot index, scatter W/blk into a packed
+    # [Ppad*Tn] slot table (unique indices, zero-filled so no validity mask
+    # is needed), and read each chunk back as a CONTIGUOUS dynamic slice.
     csize = min(cfg.point_chunk, P)
     Ppad = ((P + csize - 1) // csize) * csize
     if Ppad != P:
         pad = Ppad - P
-        safe_obs_c = jnp.pad(safe_obs, ((0, pad), (0, 0)))
-        valid_e_c = jnp.pad(valid_e, ((0, pad), (0, 0)))
         Hpp_inv_c = jnp.pad(Hpp_inv, ((0, pad), (0, 0), (0, 0)))
         b_p_c = jnp.pad(b_p, ((0, pad), (0, 0)))
     else:
-        safe_obs_c, valid_e_c, Hpp_inv_c, b_p_c = safe_obs, valid_e, Hpp_inv, b_p
+        Hpp_inv_c, b_p_c = Hpp_inv, b_p
     nchunks = Ppad // csize
 
+    pt_obs = problem.pt_obs  # [P,T], -1 padded
+    T_ = pt_obs.shape[1]
+    Tn = roles * T_
+    flatpt = pt_obs.reshape(-1)  # entry (p,t) -> obs index or -1
+    tgt = jnp.where(flatpt >= 0, flatpt, N)  # invalid -> dropped
+    fidx = jnp.arange(P * T_, dtype=jnp.int32)
+    if roles == 3:
+        base = (fidx // T_) * Tn + (fidx % T_)  # role-0 slot of entry (p,t)
+    else:
+        base = fidx
+    sent = jnp.int32(Ppad * Tn)  # OOB sentinel: unreferenced obs drop
+    slot_of_obs = jnp.full((N,), sent, jnp.int32).at[tgt].set(base, mode="drop")
+    if roles == 3:
+        slot_all = jnp.concatenate(
+            [slot_of_obs, slot_of_obs + T_, slot_of_obs + 2 * T_]
+        )
+    else:
+        slot_all = slot_of_obs
+    Wslots = (
+        jnp.zeros((Ppad * Tn, 6, 3), jnp.float32)
+        .at[slot_all].set(W, mode="drop")
+        .reshape(Ppad, Tn, 6, 3)
+    )
+    blk_slots = (
+        jnp.zeros((Ppad * Tn,), jnp.int32)
+        .at[slot_all].set(blk, mode="drop")
+        .reshape(Ppad, Tn)
+    )
+
     def ent_tables(pstart):
-        """Per-chunk gathered entry tables: Wg [c,Tn,6,3] (validity-masked),
-        blkg [c,Tn], Hinv [c,3,3], bp [c,3]."""
-        sl = jax.lax.dynamic_slice_in_dim(safe_obs_c, pstart, csize, axis=0)
-        vm = jax.lax.dynamic_slice_in_dim(valid_e_c, pstart, csize, axis=0)
+        """Per-chunk entry tables: Wg [c,Tn,6,3] (padding rows are exact
+        zeros), blkg [c,Tn] (padding -> block 0, harmless against W=0),
+        Hinv [c,3,3], bp [c,3] — all contiguous slices, zero gathers."""
+        Wg = jax.lax.dynamic_slice_in_dim(Wslots, pstart, csize, axis=0)
+        blkg = jax.lax.dynamic_slice_in_dim(blk_slots, pstart, csize, axis=0)
         Hinv = jax.lax.dynamic_slice_in_dim(Hpp_inv_c, pstart, csize, axis=0)
         bp = jax.lax.dynamic_slice_in_dim(b_p_c, pstart, csize, axis=0)
-        if cfg.refine_intrinsics:
-            ent = jnp.concatenate([sl, sl + N, sl + 2 * N], axis=1)  # [c, T*3]
-            ventry = jnp.concatenate([vm, vm, vm], axis=1)
-        else:
-            ent = sl
-            ventry = vm
-        Wg = W[ent] * ventry[..., None, None]  # [c,Tn,6,3]
-        blkg = blk[ent]  # [c,Tn]
         return Wg, blkg, Hinv, bp
 
     # solver-tier selection (static, from problem shapes): dense Cholesky for
@@ -712,16 +745,12 @@ def _gn_system(problem: BAProblem, cfg: BAConfig, cam_q, cam_t, intr, points, la
         dx_cam = jnp.where(ok, dx_cam, 0.0)
 
     # ---- back-substitute points -------------------------------------------
-    # dx_p = Hinv (b_p - sum_entries W_e^T dx_cam[blk_e])
-    if cfg.refine_intrinsics:
-        ent_all = jnp.concatenate([safe_obs, safe_obs + N, safe_obs + 2 * N], axis=1)
-        vent_all = jnp.concatenate([valid_e] * 3, axis=1)
-    else:
-        ent_all = safe_obs
-        vent_all = valid_e
-    Wg = W[ent_all] * vent_all[..., None, None]  # [P,Tn,6,3]
-    dcam_g = dx_cam[blk[ent_all]]  # [P,Tn,6]
-    wtd = jnp.einsum("ptij,pti->pj", Wg, dcam_g)  # [P,3]
+    # dx_p = Hinv (b_p - sum_entries W_e^T dx_cam[blk_e]), accumulated as a
+    # per-entry scatter-add by point (invalid entries carry W = 0), instead
+    # of re-gathering the [P,Tn] W table.
+    xg = dx_cam[blk]  # [M,6]
+    u = jnp.einsum("mij,mi->mj", W, xg)  # [M,3]
+    wtd = jnp.zeros((P, 3), jnp.float32).at[pt3].add(u)
     dx_p = jnp.einsum("pij,pj->pi", Hpp_inv, b_p - wtd)
     dx_p = jnp.where(ok, dx_p, 0.0)
     return dx_cam, dx_p
