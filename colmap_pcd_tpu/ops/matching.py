@@ -36,15 +36,17 @@ def normalize_descriptors(d: Array) -> Array:
 
 
 def _best2(sim: Array, valid2: Array) -> tuple[Array, Array, Array]:
-    """Top-2 similarities along axis 1 with invalid columns masked."""
+    """Top-2 similarities along axis 1 with invalid columns masked.
+
+    Two max/argmax reduction passes, NOT jax.lax.top_k(k=2): top_k lowers to
+    a full per-row sort on TPU (measured 44 ms per [2048,2048] pair in the
+    B=16 matching bank vs ~1 ms for the matmul that feeds it)."""
     sim = jnp.where(valid2[None, :] > 0, sim, -2.0)
-    top2, idx2 = jax.lax.top_k(sim, 2)
-    # barrier before slicing: XLA fuses column slices INTO the top-k/sort and
-    # re-derives it per consumer — measured 35x slower on an [N,N] bank
-    # (0.26 s vs 7 ms per 1024x1024 pair on CPU). The barrier materializes
-    # the top-k once; the slices then read the buffer.
-    top2, idx2 = jax.lax.optimization_barrier((top2, idx2))
-    return top2[:, 0], top2[:, 1], idx2[:, 0]
+    idx = jnp.argmax(sim, axis=1)
+    s1 = jnp.max(sim, axis=1)
+    cols = jnp.arange(sim.shape[1])
+    s2 = jnp.max(jnp.where(cols[None, :] == idx[:, None], -2.0, sim), axis=1)
+    return s1, s2, idx
 
 
 @functools.partial(jax.jit, static_argnames=("opts",))

@@ -66,17 +66,22 @@ def _gauss_kernel(sigma: float) -> np.ndarray:
 
 
 def _blur(img: Array, sigma: float) -> Array:
-    """Separable Gaussian blur, [H,W] -> [H,W]."""
+    """Separable Gaussian blur, [H,W] -> [H,W] (zero boundary).
+
+    Written as a static shift-and-add stencil (pad + slices, fused by XLA)
+    rather than conv_general_dilated: a 1-channel conv runs the MXU at
+    taps/128 x 1/128 utilization and measured ~35 ms per blur at 480x640 —
+    the fused stencil is pure VPU work at memory speed."""
     if sigma < 1e-6:
         return img
-    k = jnp.asarray(_gauss_kernel(sigma))
-    r = k.shape[0] // 2
-    x = img[None, None]  # NCHW
-    kx = k.reshape(1, 1, 1, -1)
-    ky = k.reshape(1, 1, -1, 1)
-    x = jax.lax.conv_general_dilated(x, kx, (1, 1), [(0, 0), (r, r)])
-    x = jax.lax.conv_general_dilated(x, ky, (1, 1), [(r, r), (0, 0)])
-    return x[0, 0]
+    k = _gauss_kernel(sigma)  # numpy: taps become compile-time scalars
+    r = len(k) // 2
+    H, W = img.shape[-2:]
+    nd = img.ndim
+    xp = jnp.pad(img, [(0, 0)] * (nd - 2) + [(0, 0), (r, r)])
+    x = sum(float(k[t]) * xp[..., t : t + W] for t in range(len(k)))
+    xp = jnp.pad(x, [(0, 0)] * (nd - 2) + [(r, r), (0, 0)])
+    return sum(float(k[t]) * xp[..., t : t + H, :] for t in range(len(k)))
 
 
 def _downsample2(img: Array) -> Array:
@@ -137,6 +142,58 @@ def _bilinear(img: Array, xy: Array, lidx: Array | None = None, wh=None) -> Arra
         + v11 * fx * fy
     )
     return v * inb
+
+
+def _pack_bilinear_table(mag: Array, ang: Array) -> Array:
+    """[L,H,W] mag/ang -> packed [L,H,W,8] corner table with rows
+    [m00,a00,m01,a01,m10,a10,m11,a11] (01 = x+1 shift, 10 = y+1 shift,
+    zero beyond the edge), so one bilinear sample is ONE contiguous 32-byte
+    row gather instead of 16 scalar gathers (the former extraction
+    bottleneck: ~67M scalar gathers per batch of 8)."""
+    F = jnp.stack([mag, ang], -1)  # [L,H,W,2]
+    Fx = jnp.pad(F, ((0, 0), (0, 0), (0, 1), (0, 0)))[:, :, 1:, :]
+    F4 = jnp.concatenate([F, Fx], -1)  # [L,H,W,4]
+    Fy = jnp.pad(F4, ((0, 0), (0, 1), (0, 0), (0, 0)))[:, 1:, :, :]
+    return jnp.concatenate([F4, Fy], -1)  # [L,H,W,8]
+
+
+def _bilinear_ma(F8: Array, xy: Array, lidx: Array, wh) -> tuple[Array, Array]:
+    """Bilinear (mag, ang) from the packed corner table; zero outside.
+
+    Exactly _bilinear's math: corner x1/y1 reads beyond a keypoint's valid
+    extent only ever carry zero weight (fx/fy = 0 at the boundary, inb = 0
+    outside), so the packed zero-padded neighbors match the former clamped
+    re-reads wherever the weight is nonzero."""
+    L, H, W, _ = F8.shape
+    x = xy[..., 0]
+    y = xy[..., 1]
+    wlim, hlim = wh
+    wmax = jnp.reshape(wlim, wlim.shape + (1,) * (x.ndim - wlim.ndim))
+    hmax = jnp.reshape(hlim, hlim.shape + (1,) * (x.ndim - hlim.ndim))
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, wmax)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, hmax)
+    inb = (x >= 0) & (x <= wmax) & (y >= 0) & (y <= hmax)
+    li = jnp.broadcast_to(
+        jnp.reshape(lidx, lidx.shape + (1,) * (x.ndim - lidx.ndim)), x.shape
+    )
+    rows = F8.reshape(L * H * W, 8)[(li * H + y0i) * W + x0i]  # [...,8]
+    w00 = (1 - fx) * (1 - fy)
+    w01 = fx * (1 - fy)
+    w10 = (1 - fx) * fy
+    w11 = fx * fy
+    m = (
+        rows[..., 0] * w00 + rows[..., 2] * w01
+        + rows[..., 4] * w10 + rows[..., 6] * w11
+    )
+    a = (
+        rows[..., 1] * w00 + rows[..., 3] * w01
+        + rows[..., 5] * w10 + rows[..., 7] * w11
+    )
+    return m * inb, a * inb
 
 
 def _shift2d(x: Array, dy: int, dx: int) -> Array:
@@ -262,6 +319,19 @@ def _orientation_and_descriptor(G, kx, ky, sigma_rel, opts, lidx=None, wh=None):
     )
     mag = jnp.sqrt(gx * gx + gy * gy)
     ang = jnp.arctan2(gy, gx)  # [-pi, pi]
+    if G.ndim == 2:
+        F8 = _pack_bilinear_table(mag[None], ang[None])
+        lidx_p = jnp.zeros(kx.shape, jnp.int32)
+    else:
+        F8 = _pack_bilinear_table(mag, ang)
+        lidx_p = lidx
+    if wh is None:
+        wh_p = (
+            jnp.full(kx.shape, G.shape[-1] - 1, jnp.int32),
+            jnp.full(kx.shape, G.shape[-2] - 1, jnp.int32),
+        )
+    else:
+        wh_p = wh
 
     aff = None
     if opts.estimate_affine_shape:
@@ -280,8 +350,7 @@ def _orientation_and_descriptor(G, kx, ky, sigma_rel, opts, lidx=None, wh=None):
         jnp.stack([kx, ky], -1)[:, None, :]
         + offs_k * win_r[:, None, None]
     )  # [K, P*P, 2]
-    m = _bilinear(mag, coords, lidx, wh)
-    a = _bilinear(ang, coords, lidx, wh)
+    m, a = _bilinear_ma(F8, coords, lidx_p, wh_p)
     d2 = jnp.sum(offs * offs, axis=-1)[None, :]  # normalized radius^2
     gw = jnp.exp(-d2 / (2 * 0.5**2)) * (d2 <= 1.0)
     w = m * gw
@@ -330,8 +399,8 @@ def _orientation_and_descriptor(G, kx, ky, sigma_rel, opts, lidx=None, wh=None):
         (spacing 3*sigma -> half = 2*3*sigma at scale 1)."""
         world_off = jnp.einsum("kij,pj->kpi", samp, soff) * half[:, None, None]
         coords = jnp.stack([kx, ky], -1)[:, None, :] + world_off  # [K,DD,2]
-        m = _bilinear(mag, coords, lidx, wh)
-        a = _bilinear(ang, coords, lidx, wh) - ori[:, None]
+        m, a = _bilinear_ma(F8, coords, lidx_p, wh_p)
+        a = a - ori[:, None]
         w = m * gw  # [K, DD]
         af = (a + jnp.pi) / (2 * jnp.pi) * 8.0
         b0 = jnp.floor(af).astype(jnp.int32) % 8
