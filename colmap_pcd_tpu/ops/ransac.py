@@ -375,3 +375,84 @@ def ransac_homography(uv1, uv2, valid, key, opts: RansacOptions = RansacOptions(
         solvers.homography_dlt,
         solvers.homography_transfer_error, 4, quality,
     )
+
+
+class GenRelPoseResult(NamedTuple):
+    q: Array
+    t: Array
+    inlier_mask: Array
+    num_inliers: Array
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def ransac_generalized_relative_pose(
+    f1: Array,  # [N,3] unit bearings in rig-1 frame
+    c1: Array,  # [N,3] ray origins in rig-1 frame
+    f2: Array,  # [N,3] unit bearings in rig-2 frame
+    c2: Array,  # [N,3] ray origins in rig-2 frame
+    valid: Array,  # [N]
+    key: Array,
+    opts: RansacOptions = RansacOptions(num_hypotheses=256),
+) -> GenRelPoseResult:
+    """Rig-vs-rig relative pose: GR6P hypothesis bank + GR6P LO refit.
+
+    The minimal-estimation path for generalized two-view geometry the
+    reference runs as LORANSAC<GR6PEstimator, GR6PEstimator>
+    (estimators/generalized_relative_pose_test.cc:108): 8-ray samples (Kneip's
+    stability choice, generalized_relative_pose.h:76), four translation
+    candidates per sample (the eigenvector fan), scored with the generalized
+    Sampson error (angular units — use max_error = pixel_threshold / focal).
+    Degenerate for pure translation and single-camera samples, as upstream
+    documents; callers fall back to the monocular 5-point path when the rig
+    has one camera."""
+    H = opts.num_hypotheses
+    n_samples = max(1, H // 4)
+    idx = _draw_samples(key, valid, n_samples, 8)
+
+    def solve_one(ii, k):
+        q, ts, t_ok = solvers.gr6p(
+            f1[ii], c1[ii], f2[ii], c2[ii], key=k, num_restarts=2, num_iters=20
+        )
+        return q, ts, t_ok
+
+    qs, ts, t_ok = jax.vmap(solve_one)(idx, jax.random.split(key, n_samples))
+    qs = jnp.repeat(qs, 4, axis=0)  # [H,4] one rotation per 4 translations
+    ts = ts.reshape(-1, 3)
+    t_ok = t_ok.reshape(-1)
+
+    def resid(q, t):
+        return solvers.generalized_sampson_error(q, t, f1, c1, f2, c2)
+
+    errs = jax.vmap(resid)(qs, ts)
+    errs = jnp.where(t_ok[:, None], errs, 1e12)
+    thr2 = opts.max_error**2
+    n_in, score = _score(errs, valid, thr2)
+    best = jnp.argmax(score)
+    q_b, t_b = qs[best], ts[best]
+
+    def lo_round(carry, k):
+        q_b, t_b, best_in = carry
+        e = resid(q_b, t_b)
+        inl = ((e < thr2) & (valid > 0)).astype(f1.dtype)
+        # warm-start the non-minimal refit from the incumbent rotation
+        cay = q_b[1:] / jnp.where(jnp.abs(q_b[0]) < 1e-8, 1e-8, q_b[0])
+        q_n, ts_n, tok_n = solvers.gr6p(
+            f1, c1, f2, c2, mask=inl, key=k, num_restarts=1, num_iters=32,
+            cayley0=cay,
+        )
+        e_n = jax.vmap(lambda t: resid(q_n, t))(ts_n)
+        e_n = jnp.where(tok_n[:, None], e_n, 1e12)
+        n_n = jnp.sum((e_n < thr2) & (valid > 0)[None, :], axis=-1)
+        k_best = jnp.argmax(n_n)
+        better = n_n[k_best] >= best_in
+        q_b = jnp.where(better, q_n, q_b)
+        t_b = jnp.where(better, ts_n[k_best], t_b)
+        best_in = jnp.maximum(n_n[k_best], best_in)
+        return (q_b, t_b, best_in), None
+
+    (q_b, t_b, _), _ = jax.lax.scan(
+        lo_round, (q_b, t_b, n_in[best]), jax.random.split(key, opts.lo_rounds)
+    )
+    e = resid(q_b, t_b)
+    mask = (e < thr2) & (valid > 0)
+    return GenRelPoseResult(q_b, t_b, mask, jnp.sum(mask))

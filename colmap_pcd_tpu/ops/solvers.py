@@ -762,3 +762,161 @@ def gp6p_dlt(rays_o: Array, rays_d: Array, X: Array, mask: Array | None = None) 
     TtT = T_A.T @ T_A + 1e-9 * jnp.eye(3, dtype=A.dtype)
     t = jnp.linalg.solve(TtT, T_A.T @ T_b)
     return se3.rotmat_to_quat(R), t
+
+
+# ---------------------------------------------------------------------------
+# generalized relative pose (rig vs rig)
+
+
+def _gr6p_G(cayley: Array, f1: Array, c1: Array, f2: Array, c2: Array, w: Array) -> Array:
+    """4x4 PSD system of the generalized epipolar constraint at rotation
+    `cayley` (Cayley parameters): each ray pair contributes g = [a; b] with
+
+        a = (R f1) x f2,   b = (R c1 - c2) . a,
+
+    so that the constraint reads a.t + b = 0 for the true translation t
+    (rays meet <=> (R f1), f2, and the baseline are coplanar). G = sum w g g^T;
+    the true (R, t) makes [t; 1] the nullvector of G.
+
+    Direct O(n) evaluation per iteration replaces the reference's precomputed
+    9x9 contraction tensors (estimators/generalized_relative_pose.cc:325-478,
+    a CPU-side caching scheme) — on the VPU the einsum over n rays is cheaper
+    than materializing the tensor algebra, and it keeps the cost function a
+    plain function of (cayley, data) so jax.grad gives the EXACT gradient the
+    reference approximates by finite differences (:392-414)."""
+    cx, cy, cz = cayley[0], cayley[1], cayley[2]
+    s = 1.0 + cx * cx + cy * cy + cz * cz
+    R = (
+        jnp.asarray(
+            [
+                [1 + cx * cx - cy * cy - cz * cz, 2 * (cx * cy - cz), 2 * (cx * cz + cy)],
+                [2 * (cx * cy + cz), 1 - cx * cx + cy * cy - cz * cz, 2 * (cy * cz - cx)],
+                [2 * (cx * cz - cy), 2 * (cy * cz + cx), 1 - cx * cx - cy * cy + cz * cz],
+            ]
+        )
+        / s
+    )
+    Rf1 = f1 @ R.T
+    a = jnp.cross(Rf1, f2)  # [n,3]
+    b = jnp.sum((c1 @ R.T - c2) * a, axis=-1)  # [n]
+    g = jnp.concatenate([a, b[:, None]], axis=-1)  # [n,4]
+    return jnp.einsum("n,ni,nj->ij", w, g, g)
+
+
+def cayley_to_quat(cayley: Array) -> Array:
+    """Cayley -> unit quaternion (w, x, y, z): q = (1, c)/sqrt(1+|c|^2)."""
+    q = jnp.concatenate([jnp.ones((1,), cayley.dtype), cayley])
+    return q / jnp.linalg.norm(q)
+
+
+def gr6p(
+    f1: Array,  # [n,3] unit bearing vectors in rig-1 frame
+    c1: Array,  # [n,3] ray origins (camera centers) in rig-1 frame
+    f2: Array,  # [n,3] unit bearings in rig-2 frame
+    c2: Array,  # [n,3] ray origins in rig-2 frame
+    mask: Array | None = None,
+    key: Array | None = None,
+    num_restarts: int = 4,
+    num_iters: int = 48,
+    cayley0: Array | None = None,
+) -> tuple[Array, Array, Array]:
+    """Generalized (multi-camera) relative pose from >= 6 ray correspondences.
+
+    Re-design of the reference's GR6P estimator
+    (src/estimators/generalized_relative_pose.{h,cc}, Kneip & Li CVPR'14
+    "Efficient Computation of Relative Pose for Multi-Camera Systems"): find
+    (R, t) with x_rig2 = R x_rig1 + t by minimizing the smallest eigenvalue
+    of the 4x4 generalized-epipolar system G(R) over the Cayley rotation
+    manifold, then reading the translation off G's eigenvectors.
+
+    Differences from the reference (all TPU-motivated):
+      * exact gradients via jax.grad through eigvalsh instead of
+        finite-difference jacobians (:392-414);
+      * backtracking gradient descent as a fixed-length lax.scan (the
+        reference's adaptive loop :483-560, made compile-friendly);
+      * restarts batched with vmap instead of sequential random trials;
+      * G(R) evaluated directly from the rays (see _gr6p_G).
+
+    Returns (qvec [4], ts [4,3], t_valid [4]): one rotation, with up to four
+    translation candidates (all eigenvectors of G, hnormalized — the
+    reference also returns 4 models, :583-594); feed all four into a RANSAC
+    bank and let scoring pick."""
+    n = f1.shape[0]
+    w = jnp.ones((n,), f1.dtype) if mask is None else mask
+
+    def cost(cayley):
+        G = _gr6p_G(cayley, f1, c1, f2, c2, w)
+        return jnp.linalg.eigvalsh(G)[0]
+
+    grad = jax.grad(cost)
+
+    # init: Kabsch on the (centered) bearing clouds — same role as the
+    # reference's ComputeRotationBetweenPoints (:118-146)
+    if cayley0 is None:
+        q0, _, _ = umeyama(f1, f2, with_scale=False, mask=w)
+        R0 = se3.quat_to_rotmat(q0)
+        # rotmat -> cayley: C = (R - I)(R + I)^-1, c = (-C12, C02, -C01)
+        C = (R0 - jnp.eye(3)) @ jnp.linalg.inv(R0 + jnp.eye(3) + 1e-12 * jnp.eye(3))
+        cayley0 = jnp.stack([-C[1, 2], C[0, 2], -C[0, 1]])
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    # restart bank: unperturbed init + jittered copies (reference random
+    # trials :490-506, batched)
+    perturb = jax.random.uniform(
+        key, (num_restarts, 3), f1.dtype, -0.3, 0.3
+    ).at[0].set(0.0)
+    starts = cayley0[None, :] + perturb
+
+    def descend(c0):
+        def step(carry, _):
+            cay, lam, cur = carry
+            gvec = grad(cay)
+            gn = gvec / jnp.maximum(jnp.linalg.norm(gvec), 1e-12)
+            cand = cay - lam * gn
+            cnew = cost(cand)
+            better = cnew < cur
+            cay = jnp.where(better, cand, cay)
+            cur = jnp.where(better, cnew, cur)
+            lam = jnp.where(better, lam * 1.5, lam * 0.5)
+            return (cay, lam, cur), None
+
+        (cay, _, cur), _ = jax.lax.scan(
+            step, (c0, jnp.asarray(0.01, f1.dtype), cost(c0)), None, length=num_iters
+        )
+        return cay, cur
+
+    cays, costs = jax.vmap(descend)(starts)
+    best = jnp.argmin(costs)
+    cay = cays[best]
+
+    G = _gr6p_G(cay, f1, c1, f2, c2, w)
+    evals, evecs = jnp.linalg.eigh(G)  # ascending; v[:,0] = best nullvector
+    vh = evecs.T  # [4,4] rows = eigenvectors
+    denom = vh[:, 3]
+    t_valid = jnp.abs(denom) > 1e-8
+    ts = vh[:, :3] / jnp.where(jnp.abs(denom[:, None]) < 1e-8, 1e-8, denom[:, None])
+    return cayley_to_quat(cay), ts, t_valid
+
+
+def generalized_sampson_error(
+    q: Array, t: Array, f1: Array, c1: Array, f2: Array, c2: Array
+) -> Array:
+    """First-order (Sampson-style) squared error of the generalized epipolar
+    constraint on Plücker rays, the scoring residual for GR6P banks. The
+    algebraic residual r = ((R f1) x f2).t + (R c1 - c2).((R f1) x f2) is
+    normalized by its gradient w.r.t. both bearing directions, giving an
+    angular-unit error comparable to the normalized-coordinate Sampson error
+    the reference scores with (generalized_relative_pose.cc:596-617)."""
+    R = se3.quat_to_rotmat(q)
+    Rf1 = f1 @ R.T
+    a = jnp.cross(Rf1, f2)
+    base = c1 @ R.T - c2
+    r = a @ t + jnp.sum(base * a, axis=-1)
+    # dr/df1 = R^T ((t + base) x f2 contributions): r = det[t+base, Rf1, f2]
+    # with u = t + base: r = u . (Rf1 x f2)
+    u = base + t[None, :]
+    dr_df1 = jnp.cross(f2, u) @ R  # d/d(f1): (f2 x u) . R df1
+    dr_df2 = jnp.cross(u, Rf1)
+    denom = jnp.sum(dr_df1**2, axis=-1) + jnp.sum(dr_df2**2, axis=-1)
+    return r * r / jnp.maximum(denom, 1e-12)
