@@ -101,3 +101,105 @@ def test_vlad_recall_vs_exhaustive_sift(tmp_path):
         total += K
     recall = hits / total
     assert recall >= 0.6, f"VLAD top-{K} recall vs exhaustive = {recall:.2f}"
+
+
+# ---------------------------------------------------------------------------
+# vote-and-verify spatial re-ranking (ops/vote_verify.py, reference
+# retrieval/vote_and_verify.cc) — repetitive structure is where raw VLAD
+# similarity fails and spatial verification must recover the ranking.
+
+
+def _repetitive_scene(seed=0, n_protos=12, n_feat=96):
+    """Images whose descriptors all come from a small prototype set (heavy
+    repetition -> near-identical VLADs), differing only in feature GEOMETRY:
+      query:    features on a grid
+      true:     the same features under a similarity transform (+ tiny noise)
+      impostor: same word histogram, positions shuffled (inconsistent)
+    """
+    rng = np.random.default_rng(seed)
+    protos = rng.normal(size=(n_protos, 128)).astype(np.float32)
+    protos /= np.linalg.norm(protos, axis=1, keepdims=True)
+    words = rng.integers(0, n_protos, n_feat)
+
+    def descs(jitter_seed):
+        r = np.random.default_rng(jitter_seed)
+        d = protos[words] + r.normal(0, 0.02, (n_feat, 128)).astype(np.float32)
+        return (d / np.linalg.norm(d, axis=1, keepdims=True) * 512).astype(np.float32)
+
+    gx, gy = np.meshgrid(np.arange(12), np.arange(8))
+    xy = np.stack([gx.ravel() * 40.0 + 50, gy.ravel() * 40.0 + 50], -1)[:n_feat]
+    scale = np.full((n_feat, 1), 2.0, np.float32)
+    ori = np.zeros((n_feat, 1), np.float32)
+    geom_q = np.concatenate([xy, scale, ori], -1).astype(np.float32)
+
+    # true: rotate 0.2 rad, scale 1.3, translate
+    a, s = 0.2, 1.3
+    R = np.asarray([[np.cos(a), -np.sin(a)], [np.sin(a), np.cos(a)]])
+    xy_t = (s * xy @ R.T) + np.asarray([30.0, -20.0]) + rng.normal(0, 1.0, xy.shape)
+    geom_t = np.concatenate(
+        [xy_t, scale * s, ori + a], -1
+    ).astype(np.float32)
+
+    # impostor: same words, positions shuffled
+    perm = rng.permutation(n_feat)
+    geom_i = np.concatenate([xy[perm], scale, ori], -1).astype(np.float32)
+
+    # the impostor's descriptors are a near-copy of the QUERY's (tiny extra
+    # jitter) while the true match re-jitters the prototypes independently:
+    # plain VLAD therefore prefers the impostor — only geometry can fix it
+    d_q = descs(1)
+    d_i = d_q + rng.normal(0, 1.0, d_q.shape).astype(np.float32)
+    descs_by = {1: d_q, 2: descs(2), 3: d_i}
+    geoms_by = {1: geom_q, 2: geom_t, 3: geom_i}
+    return descs_by, geoms_by
+
+
+def test_vote_and_verify_scores_consistent_above_shuffled():
+    from colmap_pcd_tpu.ops import vote_verify as vv
+    import jax.numpy as jnp
+
+    descs_by, geoms_by = _repetitive_scene()
+    index = retrieval.build_index(descs_by, k=12, geoms_by_image=geoms_by)
+    qi = index.ids.index(1)
+    ti = index.ids.index(2)
+    ii = index.ids.index(3)
+    # thresholds scaled to the 480x330 px synthetic scene (the defaults
+    # mirror the reference's 4096-px-image tuning, vote_and_verify.h:54-63)
+    opts = vv.VoteVerifyOptions(max_image_size=512.0, max_transfer_error=15.0**2)
+    scores = np.asarray(
+        vv.vote_and_verify_batch(
+            jnp.asarray(index.geoms[qi]), jnp.asarray(index.words[qi]),
+            jnp.asarray(index.valids[qi]),
+            jnp.asarray(index.geoms[[ti, ii]]), jnp.asarray(index.words[[ti, ii]]),
+            jnp.asarray(index.valids[[ti, ii]]),
+            opts,
+        )
+    )
+    assert scores[0] >= 20, scores  # the consistent pair verifies strongly
+    assert scores[0] >= 4 * max(scores[1], 1), scores  # the shuffled one dies
+
+
+def test_rerank_fixes_repetitive_confusion():
+    """Plain VLAD cannot separate the geometrically-true candidate from the
+    shuffled impostor (same word histogram); rerank=True must rank the true
+    candidate first. This quantifies the recall@1 delta the verdict asked
+    for: 'plain' is ~chance, reranked is exact."""
+    n_true_first_plain = 0
+    n_true_first_rerank = 0
+    trials = 6
+    for seed in range(trials):
+        descs_by, geoms_by = _repetitive_scene(seed=seed)
+        index = retrieval.build_index(descs_by, k=12, geoms_by_image=geoms_by)
+        plain = retrieval.query(index, 1, 2)
+        rer = retrieval.query(
+            index, 1, 2, rerank=True, num_verify=2,
+            vv_opts=__import__("colmap_pcd_tpu.ops.vote_verify", fromlist=["v"]).VoteVerifyOptions(
+                max_image_size=512.0, max_transfer_error=15.0**2
+            ),
+        )
+        n_true_first_plain += plain[0] == 2
+        n_true_first_rerank += rer[0] == 2
+    assert n_true_first_rerank == trials, (n_true_first_rerank, trials)
+    # the plain ranking must not already be perfect (else the scene is too
+    # easy to demonstrate anything) — allow at most 2/3 by luck
+    assert n_true_first_plain <= 1, n_true_first_plain
