@@ -139,6 +139,33 @@ def _clean(s: str) -> str:
     return re.sub(r"[\s\-]+", "", s or "").lower()
 
 
+def _load_shipped_specs():
+    """Load the full shipped specs table (camera_specs_data.csv, ~3.7k rows —
+    the same public sensor-width constants the reference generates into
+    util/camera_specs.cc; reference coverage without a deployment CSV)."""
+    path = os.path.join(os.path.dirname(__file__), "camera_specs_data.csv")
+    try:
+        with open(path) as f:
+            for line in f:
+                if line.startswith("#"):
+                    continue
+                parts = [p.strip() for p in line.split(",")]
+                if len(parts) != 3:
+                    continue
+                try:
+                    w = float(parts[2])
+                except ValueError:
+                    continue
+                _EXTRA.setdefault(_clean(parts[0]), {}).setdefault(
+                    _clean(parts[1]), w
+                )
+    except OSError:
+        pass
+
+
+_load_shipped_specs()
+
+
 def load_extra_specs(csv_path: str) -> int:
     """Load additional `make,model,sensor_width_mm` rows (deployment-scale
     tables, e.g. a conversion of the reference's full specs list)."""
@@ -165,15 +192,22 @@ def query_sensor_width(make: str, model: str) -> float | None:
     cmodel = _clean(model).replace(cmake, "")
     if not cmake or not cmodel:
         return None
-    matches = []
-    for table in (_SPECS, _EXTRA):
+    # merge the shipped + curated + deployment tables per (make, model) so a
+    # model present in several tables counts as ONE candidate (the ambiguity
+    # rule below must mirror the reference's single-table semantics); later
+    # tables override earlier ones
+    merged: dict[tuple[str, str], float] = {}
+    for table in (_EXTRA, _SPECS):
         for mk, models in table.items():
             if mk in cmake or cmake in mk:
                 for md, width in models.items():
-                    if md in cmodel or cmodel in md:
-                        if cmodel == md:
-                            return width
-                        matches.append(width)
+                    merged[(mk, md)] = width
+    matches = []
+    for (_mk, md), width in merged.items():
+        if md in cmodel or cmodel in md:
+            if cmodel == md:
+                return width
+            matches.append(width)
     return matches[0] if len(matches) == 1 else None
 
 
