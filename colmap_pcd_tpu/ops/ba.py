@@ -119,7 +119,14 @@ class BAProblem(NamedTuple):
     obs_pt: Array  # [N] int32 point slot (0 for padding)
     obs_uv: Array  # [N,2] pixel measurements
     obs_valid: Array  # [N] f32 {0,1}
-    pt_obs: Array  # [P,T] int32 indices into obs arrays, -1 padded
+    # [P,T] int32 indices into obs arrays, -1 padded. INVARIANT: the valid
+    # entries must be INJECTIVE and COMPLETE — every valid observation index
+    # appears exactly once across the table (make_problem guarantees this;
+    # asserted there). The Schur reduction scatters per-obs W into slots
+    # keyed by pt_obs while the back-substitution sums W over ALL valid
+    # observations — a duplicated or missing entry silently biases dx_p
+    # against dx_cam.
+    pt_obs: Array
     lidar_plane: Array  # [P,4] (a,b,c,d), |n|=1, plane through associated lidar pt
     lidar_w: Array  # [P] f32 constraint weight, 0 = none
     cam_blk: Array  # [C] int32 — pose block slot per camera (fixed -> 0 ok)
@@ -901,6 +908,9 @@ def make_problem(
         )
         rank = np.arange(ps.size) - np.repeat(starts, counts)
         pt_obs[ps, rank] = io
+        # BAProblem.pt_obs invariant: injective + complete over valid obs
+        # (each valid obs index appears exactly once; see field doc)
+        assert np.unique(pt_obs[pt_obs >= 0]).size == vidx.size
 
     def default(x, shape, val=0.0):
         return np.full(shape, val, np.float32) if x is None else np.asarray(x, np.float32)

@@ -150,7 +150,11 @@ def _pack_bilinear_table(mag: Array, ang: Array) -> Array:
     zero beyond the edge), so one bilinear sample is ONE contiguous 32-byte
     row gather instead of 16 scalar gathers (the former extraction
     bottleneck: ~67M scalar gathers per batch of 8)."""
-    F = jnp.stack([mag, ang], -1)  # [L,H,W,2]
+    # bfloat16 storage: the table is 4x the HBM of the mag/ang planes it
+    # replaces (advisor r4) — bf16 halves that, and descriptor binning
+    # tolerates the ~0.4% relative error (8 orientation bins of width pi/4;
+    # weights recompute in f32 at sample time)
+    F = jnp.stack([mag, ang], -1).astype(jnp.bfloat16)  # [L,H,W,2]
     Fx = jnp.pad(F, ((0, 0), (0, 0), (0, 1), (0, 0)))[:, :, 1:, :]
     F4 = jnp.concatenate([F, Fx], -1)  # [L,H,W,4]
     Fy = jnp.pad(F4, ((0, 0), (0, 1), (0, 0), (0, 0)))[:, 1:, :, :]
@@ -165,6 +169,10 @@ def _bilinear_ma(F8: Array, xy: Array, lidx: Array, wh) -> tuple[Array, Array]:
     outside), so the packed zero-padded neighbors match the former clamped
     re-reads wherever the weight is nonzero."""
     L, H, W, _ = F8.shape
+    # int32 flat-index headroom (advisor r4): a 2x-upsampled first octave of
+    # a very large input could overflow (li*H + y)*W + x past 2^31 and gather
+    # garbage rows; these are trace-time Python ints, so assert here
+    assert L * H * W < 2**31, (L, H, W)
     x = xy[..., 0]
     y = xy[..., 1]
     wlim, hlim = wh
@@ -180,7 +188,9 @@ def _bilinear_ma(F8: Array, xy: Array, lidx: Array, wh) -> tuple[Array, Array]:
     li = jnp.broadcast_to(
         jnp.reshape(lidx, lidx.shape + (1,) * (x.ndim - lidx.ndim)), x.shape
     )
-    rows = F8.reshape(L * H * W, 8)[(li * H + y0i) * W + x0i]  # [...,8]
+    rows = F8.reshape(L * H * W, 8)[(li * H + y0i) * W + x0i].astype(
+        jnp.float32
+    )  # [...,8]
     w00 = (1 - fx) * (1 - fy)
     w01 = fx * (1 - fy)
     w10 = (1 - fx) * fy
