@@ -48,10 +48,13 @@ _EXTRACT_BATCH = 8
 
 @functools.partial(jax.jit, static_argnames=("mopts",))
 def _match_descriptors_batch(d1, d2, v1, v2, mopts):
-    """vmapped descriptor matching over a pair block [B,N,128]."""
-    return jax.vmap(
+    """vmapped descriptor matching over a pair block [B,N,128]. Outputs are
+    narrowed on device (idx int16 — caps are <= 2^15 —, similarity f16): the
+    tunnel is transfer-bound, so halving the fetch is wall-clock."""
+    idx, ok, sim = jax.vmap(
         lambda a, b, va, vb: matching_ops.match_descriptors(a, b, va, vb, mopts)
     )(d1, d2, v1, v2)
+    return idx.astype(jnp.int16), ok, sim.astype(jnp.float16)
 
 
 IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff", ".ppm", ".pgm")
@@ -124,21 +127,16 @@ def run_feature_extractor(
             out.append((img, scale, (W0, H0), exif_focal))
         return out
 
-    def _postprocess(kp, desc, valid, scale):
-        kp = np.asarray(kp)
-        desc = np.asarray(sift_ops.descriptors_to_uint8(desc))
-        valid = np.asarray(valid)
-        kp = kp[valid]
-        desc = desc[valid]
-        if scale != 1.0:
-            kp[:, :3] /= scale  # positions + scale back to original resolution
-        return kp, desc
-
     @device_lock.locked_background
     def device_stage(batch, data):
+        """Device section: upload + dispatch + ONE batched fetch, fully
+        self-contained. The axon tunnel nondeterministically parks device
+        work that is still pending when the section ends (fetch-in-a-later-
+        section stalled 200-500 s, measured r5) — so the section returns
+        numpy; the writer stage does masking/scale/SQLite on its own thread,
+        overlapped with the next batch's upload+compute."""
         from ..utils.flops import FLOPS
 
-        results = []
         # same-shape groups run as ONE vmapped dispatch (extract_batch)
         shapes = {d[0].shape for d in data}
         if len(data) > 1 and len(shapes) == 1:
@@ -151,26 +149,39 @@ def run_feature_extractor(
                 dtype=str(imgs.dtype), opts=opts._asdict(),
             )
             kp_b, desc_b, score_b, valid_b = sift_ops.extract_batch(imgs, opts)
-            kp_b, desc_b, valid_b = jax.device_get(
+            for img, _scale, _dims, _f in data:
+                FLOPS.add(sift_ops.extract_flops(img.shape[0], img.shape[1], opts), "sift")
+            fetched = jax.device_get(
                 (kp_b, sift_ops.descriptors_to_uint8(desc_b), valid_b)
             )
+            return ("batched", fetched, data)
+        out = []
+        for img, scale, dims, exif_focal in data:
+            kp, desc, score, valid = sift_ops.extract(jnp.asarray(img), opts)
+            FLOPS.add(sift_ops.extract_flops(img.shape[0], img.shape[1], opts), "sift")
+            out.append(jax.device_get((kp, sift_ops.descriptors_to_uint8(desc), valid)))
+        return ("scalar", out, data)
+
+    def consume(batch, staged):
+        kind, fetched, data = staged
+        results = []
+        if kind == "batched":
+            kp_b, desc_b, valid_b = fetched
             for b, (img, scale, dims, exif_focal) in enumerate(data):
                 kp = kp_b[b][valid_b[b]]
                 desc = desc_b[b][valid_b[b]]
                 if scale != 1.0:
                     kp = kp.copy()
                     kp[:, :3] /= scale
-                FLOPS.add(sift_ops.extract_flops(img.shape[0], img.shape[1], opts), "sift")
                 results.append((kp, desc, dims, exif_focal))
         else:
-            for img, scale, dims, exif_focal in data:
-                kp, desc, score, valid = sift_ops.extract(jnp.asarray(img), opts)
-                FLOPS.add(sift_ops.extract_flops(img.shape[0], img.shape[1], opts), "sift")
-                kp, desc = _postprocess(kp, desc, valid, scale)
+            for (kp, desc, valid), (img, scale, dims, exif_focal) in zip(fetched, data):
+                kp = kp[valid.astype(bool)]
+                desc = desc[valid.astype(bool)]
+                if scale != 1.0:
+                    kp = kp.copy()
+                    kp[:, :3] /= scale
                 results.append((kp, desc, dims, exif_focal))
-        return results
-
-    def consume(batch, results):
         for name, result in zip(batch, results):
             _consume_one(name, result)
 
@@ -287,84 +298,103 @@ def run_feature_importer(
 
 
 class _MatchWorker:
-    """Shared per-pair matcher + verifier + writer."""
+    """Shared per-pair matcher + verifier + writer.
+
+    Chunked SOFTWARE PIPELINE over the single device lane: every chunk of
+    pairs passes through
+        prepare (host: SQLite reads + padding, caller thread)
+      -> match  (device section: upload + ONE vmapped MXU program + fetch)
+      -> assemble (pure host: match extraction, EFH item build)
+      -> verify (device section: ONE fused EFH+pose program + fetch)
+      -> classify (pure host) -> SQLite writes (caller thread, in order)
+    Chunks run on a small thread pool, so one chunk's host stages overlap
+    another's device sections; the device sections are per-STAGE (two short
+    sections per chunk instead of one monolith), letting the mapper's
+    priority sections preempt between stages (the r4 bench lost ~33 s of
+    mapper wall to queue-wait behind monolithic chunk sections). Each device
+    section is fully self-contained (dispatch + fetch): the axon tunnel
+    nondeterministically parks device work left pending across sections
+    (200-500 s stalls, measured r5). This is the TPU analog of the
+    reference's matcher/verifier worker-pool topology
+    (feature/matching.h:222-345): its CPU threads become pipeline stages
+    around batched device programs."""
 
     def __init__(self, db: Database, config: SiftMatchingConfig):
         self.db = db
         self.cfg = config
-        self._cache: dict[int, tuple[np.ndarray, jnp.ndarray, jnp.ndarray]] = {}
+        self._host_cache: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray, int]] = {}
+        self._dev_cache: dict[int, tuple] = {}
         self.cameras = db.cameras()
         self.images = db.images()
 
-    def _feats(self, image_id: int):
-        if image_id not in self._cache:
+    # ------------------------------------------------------------ features
+    def _feats_host(self, image_id: int):
+        """(kp_p, d_u8, v, N) padded host arrays (FeatureMatcherCache parity)."""
+        if image_id not in self._host_cache:
             kp = self.db.read_keypoints(image_id)
             desc = self.db.read_descriptors(image_id)
             N = desc.shape[0]
             cap = 1 << max(6, int(np.ceil(np.log2(max(N, 1)))))
             kp_p = np.zeros((cap, 6), np.float32)
             kp_p[:N] = kp
-            # pad on the host in uint8 and normalize ON DEVICE: one 256 KB
-            # uint8 upload per image instead of an upload + f32 download +
-            # f32 re-upload round trip (~2.25 MB through the tunnel);
-            # all-zero padding rows normalize to zero (1e-8 floor)
             d_u8 = np.zeros((cap, desc.shape[1] if desc.size else 128), np.uint8)
             if N:
                 d_u8[:N] = desc
             v = np.zeros(cap, np.float32)
             v[:N] = 1.0
-            if len(self._cache) > 200:  # LRU-ish cap (FeatureMatcherCache parity)
-                self._cache.pop(next(iter(self._cache)))
+            if len(self._host_cache) > 200:  # LRU-ish cap
+                self._host_cache.pop(next(iter(self._host_cache)))
+            self._host_cache[image_id] = (kp_p, d_u8, v, N)
+        return self._host_cache[image_id]
+
+    def _feats_dev(self, image_id: int):
+        """Device-resident normalized descriptors. MUST run on the device
+        thread. One 256 KB uint8 upload per image, normalized on device
+        (padding rows normalize to zero)."""
+        if image_id not in self._dev_cache:
+            _, d_u8, v, _ = self._feats_host(image_id)
+            if len(self._dev_cache) > 200:
+                self._dev_cache.pop(next(iter(self._dev_cache)))
             d_dev = matching_ops.normalize_descriptors(jnp.asarray(d_u8))
-            self._cache[image_id] = (kp_p, d_dev, jnp.asarray(v), N)
-        return self._cache[image_id]
+            entry = (d_dev, jnp.asarray(v))
+            jax.block_until_ready(entry)  # tunnel: no in-flight work at return
+            self._dev_cache[image_id] = entry
+        return self._dev_cache[image_id]
 
-    def match_pairs(self, pair_list, chunk: int = 16) -> int:
-        """Batched pair matching + verification: descriptor matching for a
-        whole chunk is one vmapped MXU dispatch, and geometric verification is
-        one fused-EFH dispatch (estimate_two_view_geometry_batch) — instead of
-        2+ dispatches per pair (the reference fans pairs over CPU worker
-        threads, matching.h:222-345; the TPU analog is batching).
+    def _feats(self, image_id: int):
+        """Legacy single-pair access: (kp_p, d_dev, v_dev, N)."""
+        kp_p, _, _, N = self._feats_host(image_id)
+        d_dev, v_dev = device_lock.EXECUTOR.run(self._feats_dev, (image_id,),
+                                                priority=False)
+        return kp_p, d_dev, v_dev, N
 
-        Returns the number of pairs with a verified geometry."""
-        if getattr(self.cfg, "use_pallas", False) or self.cfg.guided_matching:
-            return sum(1 if self.match_pair(i, j) else 0 for i, j in pair_list)
-        n_ok = 0
-        for c0 in range(0, len(pair_list), chunk):
-            block = list(pair_list[c0 : c0 + chunk])
-            # pad the final partial chunk with repeats so the batch shape B is
-            # constant (each distinct B is another compiled program); the
-            # worker skips duplicates
-            while 0 < len(block) < chunk:
-                block.append(block[-1])
-            n_ok += self._match_pairs_chunk(block)
-        return n_ok
-
-    @device_lock.locked_background
-    def _match_pairs_chunk(self, pairs) -> int:
+    # ------------------------------------------------------- pipeline stages
+    def _prep(self, pairs):
+        """Host: dedupe padding, pull host features, decide the chunk cap."""
         seen = set()
         uniq = []
         for p in pairs:
-            if p not in seen:
-                seen.add(p)
-                uniq.append((p, False))
-            else:
-                uniq.append((p, True))  # duplicate padding: compute, skip IO
-        feats = [(self._feats(i), self._feats(j)) for i, j in pairs]
-        B = len(pairs)
-        # per-image caps are already power-of-two bucketed (_feats); the chunk
-        # cap (their max) therefore is too — a bounded compile ladder
+            dup = p in seen
+            seen.add(p)
+            uniq.append((p, dup))
+        hfeats = [(self._feats_host(i), self._feats_host(j)) for i, j in pairs]
         cap = max(
-            max(f1[1].shape[0] for f1, _ in feats),
-            max(f2[1].shape[0] for _, f2 in feats),
+            max(f1[1].shape[0] for f1, _ in hfeats),
+            max(f2[1].shape[0] for _, f2 in hfeats),
         )
-        if cap == 0 or all(f1[3] == 0 or f2[3] == 0 for f1, f2 in feats):
-            # a fully degenerate chunk (textureless batch): nothing to match
-            for (id1, id2), (_, dup) in zip(pairs, uniq):
-                if not dup:
-                    self.db.write_matches(id1, id2, np.zeros((0, 2), np.uint32))
-            self.db.commit()
-            return 0
+        degenerate = cap == 0 or all(
+            f1[3] == 0 or f2[3] == 0 for f1, f2 in hfeats
+        )
+        return dict(pairs=list(pairs), uniq=uniq, hfeats=hfeats, cap=cap,
+                    degenerate=degenerate)
+
+    @device_lock.locked_background
+    def _dev_match(self, prep):
+        """Device section: upload any missing descriptors, dispatch the
+        vmapped matcher, fetch — self-contained (the tunnel parks device work
+        still pending when a section ends; measured 200-500 s stalls)."""
+        pairs, cap = prep["pairs"], prep["cap"]
+        B = len(pairs)
 
         def repad(d, v):
             k = cap - d.shape[0]
@@ -376,7 +406,9 @@ class _MatchWorker:
             )
 
         d1s, v1s, d2s, v2s = [], [], [], []
-        for (kp1, d1, v1, _n1), (kp2, d2, v2, _n2) in feats:
+        for i, j in pairs:
+            d1, v1 = self._feats_dev(i)
+            d2, v2 = self._feats_dev(j)
             d1p, v1p = repad(d1, v1)
             d2p, v2p = repad(d2, v2)
             d1s.append(d1p)
@@ -390,30 +422,36 @@ class _MatchWorker:
             guided_max_error=self.cfg.max_error,
         )
         prewarm.record("match", B=B, cap=int(cap), opts=mopts._asdict())
-        idx_b, ok_b, sim_b = _match_descriptors_batch(
+        out = _match_descriptors_batch(
             jnp.stack(d1s), jnp.stack(d2s), jnp.stack(v1s), jnp.stack(v2s), mopts
         )
         # one batched fetch: separate np.asarray calls are separate ~25 ms
         # round trips through the tunnel
-        idx_b, ok_b, sim_b = jax.device_get((idx_b, ok_b, sim_b))
+        return jax.device_get(out)
+
+    def _assemble_pure(self, prep, fetched):
+        """Pure host (no DB): extract per-pair matches, build the EFH items.
+        Returns (asm | None, match_writes)."""
+        idx_b, ok_b, sim_b = fetched
+        pairs, uniq, hfeats = prep["pairs"], prep["uniq"], prep["hfeats"]
         from ..utils.flops import FLOPS
 
         # count REAL per-pair descriptor work, not the padded bank (the
         # padded count inflated reported MFU; advisor finding r2)
-        FLOPS.add(sum(2.0 * f1[3] * f2[3] * 128 for f1, f2 in feats), "matching")
+        FLOPS.add(sum(2.0 * f1[3] * f2[3] * 128 for f1, f2 in hfeats), "matching")
 
-        items, meta = [], []
+        items, meta, match_writes = [], [], []
         for b, (id1, id2) in enumerate(pairs):
             if uniq[b][1]:  # duplicate padding row
                 continue
             rows = np.nonzero(ok_b[b])[0]
             mpairs = np.stack([rows, idx_b[b][rows]], axis=-1).astype(np.int32)
             if len(mpairs) < self.cfg.min_num_inliers:
-                self.db.write_matches(id1, id2, np.zeros((0, 2), np.uint32))
+                match_writes.append((id1, id2, np.zeros((0, 2), np.uint32)))
                 continue
-            self.db.write_matches(id1, id2, mpairs)
-            kp1 = feats[b][0][0]
-            kp2 = feats[b][1][0]
+            match_writes.append((id1, id2, mpairs))
+            kp1 = hfeats[b][0][0]
+            kp2 = hfeats[b][1][0]
             cam1 = self.cameras[self.images[id1]["camera_id"]]
             cam2 = self.cameras[self.images[id2]["camera_id"]]
             items.append(dict(
@@ -433,30 +471,112 @@ class _MatchWorker:
             ))
             meta.append((id1, id2, mpairs))
         if not items:
-            return 0
-        # pad the survivor batch to the chunk size as well — the vmapped EFH
+            return None, match_writes
+        # pad the survivor batch to the chunk size — the vmapped EFH
         # program's B must stay constant across chunks
         n_real = len(items)
         while len(items) < len(pairs):
             items.append(items[-1])
-        geoms = two_view_mod.estimate_two_view_geometry_batch(
-            items,
-            two_view_mod.TwoViewOptions(
-                max_error=self.cfg.max_error,
-                min_num_inliers=self.cfg.min_num_inliers,
-            ),
-        )[:n_real]
+        return dict(items=items, meta=meta, n_real=n_real), match_writes
+
+    def _tv_opts(self):
+        return two_view_mod.TwoViewOptions(
+            max_error=self.cfg.max_error,
+            min_num_inliers=self.cfg.min_num_inliers,
+            num_hypotheses=getattr(self.cfg, "num_hypotheses", 1024),
+        )
+
+    @device_lock.locked_background
+    def _dev_verify(self, asm):
+        """Device section: dispatch the fused EFH+pose program + fetch —
+        self-contained (see _dev_match)."""
+        handles, ctx = two_view_mod.two_view_verify_dispatch(
+            asm["items"], self._tv_opts()
+        )
+        fetched = jax.device_get(handles) if handles is not None else None
+        return fetched, ctx
+
+    def _classify_pure(self, asm, vctx, vfetched):
+        """Pure host: configuration classification. Returns (geom_writes,
+        n_ok) with geom_writes rows (id1, id2, inliers, geom)."""
+        geoms = two_view_mod.two_view_verify_classify(
+            vfetched, vctx, asm["items"], self._tv_opts()
+        )[: asm["n_real"]]
         n_ok = 0
-        for (id1, id2, mpairs), g in zip(meta, geoms):
+        geom_writes = []
+        for (id1, id2, mpairs), g in zip(asm["meta"], geoms):
             rows = g.inlier_matches[:, 0] if len(g.inlier_matches) else np.zeros(0, np.int64)
             inliers = mpairs[rows] if len(rows) else np.zeros((0, 2), np.uint32)
-            self.db.write_two_view_geometry(
-                id1, id2, inliers, g.config, F=g.F, E=g.E, H=g.H,
-                qvec=g.qvec, tvec=g.tvec,
-            )
+            geom_writes.append((id1, id2, inliers, g))
             if len(inliers) >= self.cfg.min_num_inliers:
                 n_ok += 1
-        self.db.commit()
+        return geom_writes, n_ok
+
+    def _process_chunk(self, prep):
+        """One chunk through match -> assemble -> verify -> classify; pure
+        except the two device sections (safe from any thread — they execute
+        on the device-executor thread). Returns (match_writes, geom_writes,
+        n_ok) for the caller to flush into SQLite in submission order."""
+        if prep["degenerate"]:
+            return (
+                [(i, j, np.zeros((0, 2), np.uint32))
+                 for (i, j), (_, dup) in zip(prep["pairs"], prep["uniq"]) if not dup],
+                [], 0,
+            )
+        fetched = self._dev_match(prep)
+        asm, match_writes = self._assemble_pure(prep, fetched)
+        if asm is None:
+            return match_writes, [], 0
+        vfetched, vctx = self._dev_verify(asm)
+        geom_writes, n_ok = self._classify_pure(asm, vctx, vfetched)
+        return match_writes, geom_writes, n_ok
+
+    def match_pairs(self, pair_list, chunk: int = 16) -> int:
+        """Pipelined batched pair matching + verification (see class doc):
+        chunks run on a 2-thread pool so one chunk's host assembly overlaps
+        the other's device sections (which serialize on the device executor
+        anyway); DB reads (_prep) and all writes stay on the calling thread
+        (SQLite connections are single-thread), applied in submission order.
+        Returns the number of pairs with a verified geometry."""
+        if getattr(self.cfg, "use_pallas", False) or self.cfg.guided_matching:
+            return sum(1 if self.match_pair(i, j) else 0 for i, j in pair_list)
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        blocks = []
+        for c0 in range(0, len(pair_list), chunk):
+            block = list(pair_list[c0 : c0 + chunk])
+            # pad the final partial chunk with repeats so the batch shape B is
+            # constant (each distinct B is another compiled program); the
+            # worker skips duplicates
+            while 0 < len(block) < chunk:
+                block.append(block[-1])
+            blocks.append(block)
+
+        n_ok = 0
+
+        def flush(fut):
+            nonlocal n_ok
+            match_writes, geom_writes, ok = fut.result()
+            for id1, id2, mpairs in match_writes:
+                self.db.write_matches(id1, id2, mpairs)
+            for id1, id2, inliers, g in geom_writes:
+                self.db.write_two_view_geometry(
+                    id1, id2, inliers, g.config, F=g.F, E=g.E, H=g.H,
+                    qvec=g.qvec, tvec=g.tvec,
+                )
+            self.db.commit()
+            n_ok += ok
+
+        window: deque = deque()
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for block in blocks:
+                prep = self._prep(block)  # caller thread: SQLite reads
+                window.append(pool.submit(self._process_chunk, prep))
+                while len(window) > 2:
+                    flush(window.popleft())
+            while window:
+                flush(window.popleft())
         return n_ok
 
     @device_lock.locked_background
@@ -720,8 +840,8 @@ def run_feature_pairs_importer(
         ).reshape(-1, 2)
         db.write_matches(id1, id2, m)
         if verify and len(m) >= config.min_num_inliers:
-            kp1, _, _ = w._feats(id1)
-            kp2, _, _ = w._feats(id2)
+            kp1, _, _, _ = w._feats_host(id1)
+            kp2, _, _, _ = w._feats_host(id2)
             cam1 = w.cameras[w.images[id1]["camera_id"]]
             cam2 = w.cameras[w.images[id2]["camera_id"]]
             from ..ops import camera_models as cmm

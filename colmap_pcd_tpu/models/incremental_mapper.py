@@ -963,17 +963,18 @@ class IncrementalMapper:
         # variable points: modified points with bounded track length (:1106-1135)
         max_track = 1000 if opts.if_add_lidar_constraint else 15
         variable_pids, proj_pids, icp_pids = [], [], []
-        for pid in point3D_ids:
-            p = self.rec.points3D.get(pid)
-            if p is None:
-                continue
-            if len(p.track) <= max_track:
-                variable_pids.append(pid)
-                if opts.if_add_lidar_constraint:
-                    if len(p.track) < opts.min_proj_num + 3:
-                        proj_pids.append(pid)
-                    else:
-                        icp_pids.append(pid)
+        with PHASES.phase("local_select_host"):
+            for pid in point3D_ids:
+                p = self.rec.points3D.get(pid)
+                if p is None:
+                    continue
+                if len(p.track) <= max_track:
+                    variable_pids.append(pid)
+                    if opts.if_add_lidar_constraint:
+                        if len(p.track) < opts.min_proj_num + 3:
+                            proj_pids.append(pid)
+                        else:
+                            icp_pids.append(pid)
 
         # lidar associations (:1140-1170)
         if self.lidar_map is not None and (
@@ -981,14 +982,15 @@ class IncrementalMapper:
         ):
             with PHASES.phase("lidar_assoc_proj"):
                 self._match_variable_points_to_lidar(proj_pids, image_id, opts)
-            ranges = [
-                max(
-                    opts.kdtree_max_search_range
-                    - self.rec.points3D[pid].global_opt_num * opts.search_range_drop_speed,
-                    opts.kdtree_min_search_range,
-                )
-                for pid in icp_pids
-            ]
+            with PHASES.phase("local_ranges_host"):
+                ranges = [
+                    max(
+                        opts.kdtree_max_search_range
+                        - self.rec.points3D[pid].global_opt_num * opts.search_range_drop_speed,
+                        opts.kdtree_min_search_range,
+                    )
+                    for pid in icp_pids
+                ]
             with PHASES.phase("lidar_assoc_icp"):
                 self._match_closest_lidar_points(icp_pids, ranges)
 
@@ -1002,9 +1004,10 @@ class IncrementalMapper:
                 max_iterations=opts.ba_local_max_num_iterations,
                 lidar_assocs=self.rec.lidar_points if opts.if_add_lidar_constraint else {},
             )
-        report.num_adjusted_observations = sum(
-            len(self.rec.points3D[p].track) for p in variable_pids if p in self.rec.points3D
-        )
+        with PHASES.phase("local_report_host"):
+            report.num_adjusted_observations = sum(
+                len(self.rec.points3D[p].track) for p in variable_pids if p in self.rec.points3D
+            )
 
         tri_opts = TriangulatorOptions(
             complete_max_reproj_error=opts.filter_max_reproj_error / 2,

@@ -52,6 +52,7 @@ class PairFeed:
         self.n_pairs_verified = 0
         self.extract_s = 0.0  # extraction thread wall (set on completion)
         self.match_s = 0.0  # matcher thread wall, includes waiting on extract
+        self.match_busy_s = 0.0  # wall actually inside match_pairs (no waits)
 
     def push_image(self, iid, name, camera_id, xys):
         with self._lock:
@@ -107,7 +108,7 @@ def run_overlapped_frontend(
     reader: ImageReaderConfig = ImageReaderConfig(),
     overlap: int = 5,
     quadratic_overlap: bool = False,
-    match_block: int = 16,
+    match_block: int = 64,
 ) -> tuple[PairFeed, threading.Thread, threading.Thread]:
     """Start extraction + incremental matching threads; returns the feed and
     both threads (join them for stage timing; the feed is marked done when
@@ -171,7 +172,9 @@ def run_overlapped_frontend(
                     w.images = imgs
                     w.cameras = db.cameras()
                     block = pairs[:match_block]
+                    tb = time.time()
                     w.match_pairs(block)
+                    feed.match_busy_s += time.time() - tb
                     for i, j in block:
                         matched.add((i, j))
                         feed.n_pairs_matched += 1

@@ -263,60 +263,80 @@ def _ransac_efh(n1, n2, uv1, uv2, valid, seed, ro, e_max_error, qual):
     return resE, resF, resH
 
 
-@functools.partial(jax.jit, static_argnames=("ro",))
-def _ransac_efh_batch(n1, n2, uv1, uv2, valid, seeds, ro, e_max_errors, quals):
-    """vmapped fused E/F/H over a batch of pairs (leading axis B): verifying
-    an image-pair block is ONE device dispatch instead of B. e_max_errors
-    [B] carries each pair's focal-scaled E threshold as traced data."""
+@functools.partial(jax.jit, static_argnames=("ro", "cls"))
+def _ransac_efh_batch(n1, n2, uv1, uv2, valid, seeds, ro, e_max_errors, quals,
+                      cls=(15, 0.95, 0.8)):
+    """vmapped fused E/F/H + pose recovery + CLASSIFICATION over a batch of
+    pairs (leading axis B): verifying an image-pair block is ONE device
+    dispatch instead of B, and the output is the SLIM per-pair verdict —
+    config code, models, best inlier mask, pose, median tri-angle — not the
+    raw per-point bank outputs. e_max_errors [B] carries each pair's
+    focal-scaled E threshold as traced data; cls = (min_num_inliers,
+    min_E_F_inlier_ratio, max_H_inlier_ratio), static.
+
+    Classifying on device matters because the axon tunnel is transfer-bound
+    (~1 MB/s measured): the raw outputs (three [B,cap] masks + three [B,cap]
+    pose arrays) cost ~0.5 MB = seconds per chunk; the verdict is ~40 KB."""
+    min_inl, ef_ratio, h_ratio = cls
+
     def one(n1, n2, uv1, uv2, valid, seed, e_err, qual):
         key = jax.random.PRNGKey(seed)
         k1, k2, k3 = jax.random.split(key, 3)
         resE = ransac_ops.ransac_essential(n1, n2, valid, k1, ro, qual, e_err)
         resF = ransac_ops.ransac_fundamental(uv1, uv2, valid, k2, ro, qual)
         resH = ransac_ops.ransac_homography(uv1, uv2, valid, k3, ro, qual)
-        return resE, resF, resH
+        q, t, ang, z1, z2 = _pose_recovery(
+            resE.model, n1, n2, resE.inlier_mask.astype(jnp.float32)
+        )
+        nE, nF, nH = resE.num_inliers, resF.num_inliers, resH.num_inliers
+        calibrated = (nE >= ef_ratio * nF) & (nE >= min_inl)
+        degenerate = jnp.maximum(nE, nF) < min_inl
+        best_mask = jnp.where(calibrated, resE.inlier_mask, resF.inlier_mask)
+        n_best = jnp.where(calibrated, nE, nF)
+        planar = nH > h_ratio * n_best
+        config = jnp.where(
+            degenerate, DEGENERATE,
+            jnp.where(planar, PLANAR_OR_PANORAMIC,
+                      jnp.where(calibrated, CALIBRATED, UNCALIBRATED)),
+        ).astype(jnp.int32)
+        # median triangulation angle over cheirality-positive best inliers
+        ok = best_mask & (z1 > 0) & (z2 > 0)
+        n_ok = jnp.sum(ok)
+        srt = jnp.sort(jnp.where(ok, ang, jnp.inf))
+        tri = jnp.where(n_ok > 0, srt[jnp.maximum(n_ok - 1, 0) // 2], 0.0)
+        return dict(
+            config=config, E=resE.model, F=resF.model, H=resH.model,
+            best_mask=best_mask, n_best=n_best, q=q, t=t, tri_angle=tri,
+        )
 
     return jax.vmap(one)(n1, n2, uv1, uv2, valid, seeds, e_max_errors, quals)
 
 
-@jax.jit
-def _pose_recovery_batch(E, n1, n2, mask):
-    """vmapped _pose_recovery over a pair batch."""
-    return jax.vmap(_pose_recovery)(E, n1, n2, mask)
-
-
-def estimate_two_view_geometry_batch(
+def two_view_verify_dispatch(
     items: list[dict],
     opts: TwoViewOptions = TwoViewOptions(),
-) -> list[TwoViewGeometry]:
-    """Batched estimate_two_view_geometry: one fused-EFH dispatch + one pose
-    recovery dispatch for a whole image-pair block.
+):
+    """Device half of batched two-view verification: pad the item block,
+    upload, and dispatch the fused EFH+pose program WITHOUT fetching.
+
+    Returns (handles, ctx) where `handles` is the program's output pytree
+    (device arrays — hand to jax.device_get inside a device section) and
+    `ctx` the host metadata `two_view_verify_classify` needs. Splitting
+    dispatch from classification lets the matcher pipeline chunks: chunk k's
+    EFH computes on-device while chunk k-1 classifies and chunk k+1 matches.
 
     Each item: dict(uv1 [N,2], uv2 [N,2], params1, params2, model_id1,
     model_id2, seed, size1, size2, quality) — N may differ per item; all pad
-    to the largest item's power-of-four cap. Degenerate/multiple-model
-    options fall back to the scalar path per item.
+    to the largest item's power-of-four cap.
     """
     from ..ops import np_geom
 
-    out = [TwoViewGeometry() for _ in items]
-    idxs = [
-        k for k, it in enumerate(items)
-        if it["uv1"].shape[0] >= 8 and not opts.multiple_models
-    ]
-    for k, it in enumerate(items):
-        if it["uv1"].shape[0] >= 8 and opts.multiple_models:
-            out[k] = estimate_two_view_geometry(
-                it["uv1"], it["uv2"], it["params1"], it["params2"],
-                it["model_id1"], it["model_id2"], opts, seed=it.get("seed", 0),
-                size1=it.get("size1"), size2=it.get("size2"),
-                quality=it.get("quality"),
-            )
-    if not idxs:
-        return out
+    idxs = [k for k, it in enumerate(items) if it["uv1"].shape[0] >= 8]
 
     import math as _math
 
+    if not idxs:
+        return None, {"idxs": [], "n_items": len(items)}
     Nmax = max(items[k]["uv1"].shape[0] for k in idxs)
     cap = 128 * 4 ** max(0, _math.ceil(_math.log(max(Nmax, 1) / 128, 4)))
     B = len(idxs)
@@ -355,45 +375,39 @@ def estimate_two_view_geometry_batch(
     )
     from ..utils import prewarm
 
-    prewarm.record("efh", B=B, cap=int(cap), opts=ro._asdict())
-    resE, resF, resH = _ransac_efh_batch(
+    cls = (opts.min_num_inliers, opts.min_E_F_inlier_ratio, opts.max_H_inlier_ratio)
+    prewarm.record("efh", B=B, cap=int(cap), opts=ro._asdict(), cls=list(cls))
+    handles = _ransac_efh_batch(
         jnp.asarray(n1), jnp.asarray(n2), jnp.asarray(uv1), jnp.asarray(uv2),
         jnp.asarray(valid), jnp.asarray(seeds), ro, jnp.asarray(e_errs),
-        jnp.asarray(quals),
+        jnp.asarray(quals), cls,
     )
-    nE = np.asarray(resE.num_inliers)
-    nF = np.asarray(resF.num_inliers)
-    nH = np.asarray(resH.num_inliers)
-    E_all = np.asarray(resE.model)
-    F_all = np.asarray(resF.model)
-    H_all = np.asarray(resH.model)
-    maskE = np.asarray(resE.inlier_mask)
-    maskF = np.asarray(resF.inlier_mask)
+    ctx = {"idxs": idxs, "ns": ns, "n_items": len(items)}
+    return handles, ctx
 
-    # host-side classification per pair (cheap numpy), then one batched pose
-    # recovery for the calibrated survivors
-    pose_rows = []
-    pose_masks = np.zeros((B, cap), np.float32)
-    for b, k in enumerate(idxs):
+
+def two_view_verify_classify(
+    fetched,
+    ctx: dict,
+    items: list[dict],
+    opts: TwoViewOptions = TwoViewOptions(),
+) -> list[TwoViewGeometry]:
+    """Host half of batched two-view verification: classify each pair's
+    configuration from the fetched EFH+pose numpy arrays (pure numpy — safe
+    off the device thread)."""
+    out = [TwoViewGeometry() for _ in range(ctx["n_items"])]
+    if not ctx["idxs"]:
+        return out
+    for b, k in enumerate(ctx["idxs"]):
         g = out[k]
-        N = ns[b]
-        g.E, g.F, g.H = E_all[b], F_all[b], H_all[b]
-        if max(int(nE[b]), int(nF[b])) < opts.min_num_inliers:
-            g.config = DEGENERATE
+        N = ctx["ns"][b]
+        g.E, g.F, g.H = fetched["E"][b], fetched["F"][b], fetched["H"][b]
+        g.config = int(fetched["config"][b])
+        if g.config == DEGENERATE:
             continue
-        if nE[b] >= opts.min_E_F_inlier_ratio * nF[b] and nE[b] >= opts.min_num_inliers:
-            config = CALIBRATED
-            best_mask = maskE[b, :N]
-            n_best = int(nE[b])
-        else:
-            config = UNCALIBRATED
-            best_mask = maskF[b, :N]
-            n_best = int(nF[b])
-        if nH[b] > opts.max_H_inlier_ratio * n_best:
-            config = PLANAR_OR_PANORAMIC
+        best_mask = fetched["best_mask"][b, :N]
         rows = np.nonzero(best_mask)[0]
         g.inlier_matches = np.stack([rows, rows], axis=-1).astype(np.int32)
-        g.config = config
         it = items[k]
         if (
             opts.detect_watermark
@@ -406,35 +420,35 @@ def estimate_two_view_geometry_batch(
         ):
             g.config = WATERMARK
             continue
-        if opts.compute_relative_pose and config == CALIBRATED:
-            pose_masks[b, :N] = best_mask
-            pose_rows.append((b, k, N, best_mask))
-
-    if pose_rows:
-        sel = np.asarray([b for b, *_ in pose_rows])
-        # pad the survivor selection to the full chunk B: a distinct batch
-        # size would otherwise be a distinct multi-minute tunnel compile of
-        # the pose-recovery program per survivor count (1..B)
-        if sel.size < B:
-            sel = np.concatenate([sel, np.full(B - sel.size, sel[0], sel.dtype)])
-        q_all, t_all, ang_all, z1_all, z2_all = _pose_recovery_batch(
-            jnp.asarray(E_all[sel], jnp.float32),
-            jnp.asarray(n1[sel]), jnp.asarray(n2[sel]),
-            jnp.asarray(pose_masks[sel]),
-        )
-        q_all = np.asarray(q_all)
-        t_all = np.asarray(t_all)
-        ang_all = np.asarray(ang_all)
-        z1_all = np.asarray(z1_all)
-        z2_all = np.asarray(z2_all)
-        for r, (b, k, N, best_mask) in enumerate(pose_rows):
-            g = out[k]
-            g.qvec = q_all[r]
-            g.tvec = t_all[r]
-            ok = best_mask & (z1_all[r, :N] > 0) & (z2_all[r, :N] > 0)
-            if ok.sum() > 0:
-                g.tri_angle = float(np.median(ang_all[r, :N][ok]))
+        if opts.compute_relative_pose and g.config == CALIBRATED:
+            g.qvec = fetched["q"][b]
+            g.tvec = fetched["t"][b]
+            g.tri_angle = float(fetched["tri_angle"][b])
     return out
+
+
+def estimate_two_view_geometry_batch(
+    items: list[dict],
+    opts: TwoViewOptions = TwoViewOptions(),
+) -> list[TwoViewGeometry]:
+    """Batched estimate_two_view_geometry: ONE fused EFH+pose dispatch for a
+    whole image-pair block (dispatch + classify halves run back to back; the
+    overlapped matcher calls the halves separately to pipeline chunks).
+    Multiple-model extraction falls back to the scalar path per item."""
+    if opts.multiple_models:
+        return [
+            estimate_two_view_geometry(
+                it["uv1"], it["uv2"], it["params1"], it["params2"],
+                it["model_id1"], it["model_id2"], opts, seed=it.get("seed", 0),
+                size1=it.get("size1"), size2=it.get("size2"),
+                quality=it.get("quality"),
+            )
+            if it["uv1"].shape[0] >= 8 else TwoViewGeometry()
+            for it in items
+        ]
+    handles, ctx = two_view_verify_dispatch(items, opts)
+    fetched = jax.device_get(handles) if handles is not None else None
+    return two_view_verify_classify(fetched, ctx, items, opts)
 
 
 @jax.jit

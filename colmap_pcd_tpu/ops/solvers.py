@@ -46,8 +46,11 @@ def triangulate_dlt(proj1: Array, proj2: Array, uv1: Array, uv2: Array) -> Array
         ],
         axis=-2,
     )  # [...,4,4]
-    _, _, vt = jnp.linalg.svd(rows)
-    X = vt[..., 3, :]
+    # nullspace via eigh of the 4x4 Gram matrix: batched small SVDs are the
+    # slow path on TPU, and this runs per-point inside pose recovery
+    M = jnp.einsum("...ri,...rj->...ij", rows, rows)
+    _, V = jnp.linalg.eigh(M)
+    X = V[..., :, 0]  # smallest-eigenvalue eigenvector
     w = X[..., 3]
     w = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
     return X[..., :3] / w[..., None]
@@ -66,8 +69,7 @@ def triangulate_multiview(qs: Array, ts: Array, uvs: Array, mask: Array) -> Arra
     r1 = uvs[:, 0, None] * P[:, 2, :] - P[:, 0, :]
     r2 = uvs[:, 1, None] * P[:, 2, :] - P[:, 1, :]
     A = jnp.concatenate([r1, r2], axis=0) * jnp.concatenate([mask, mask])[:, None]
-    _, _, vt = jnp.linalg.svd(A, full_matrices=True)  # full: nullspace vector needed for minimal samples
-    X = vt[3, :]
+    X = nullspace_vecs(A, 1)[0]
     w = jnp.where(jnp.abs(X[3]) < 1e-12, 1e-12, X[3])
     return X[:3] / w
 
@@ -99,8 +101,7 @@ def p6p_dlt(uv: Array, X: Array) -> tuple[Array, Array]:
     r1 = jnp.concatenate([Xh, z, -uv[:, 0:1] * Xh], axis=-1)  # [n,12]
     r2 = jnp.concatenate([z, Xh, -uv[:, 1:2] * Xh], axis=-1)
     A = jnp.concatenate([r1, r2], axis=0)  # [2n,12]
-    _, _, vt = jnp.linalg.svd(A, full_matrices=True)  # full: nullspace vector needed for minimal samples
-    P = vt[-1].reshape(3, 4)
+    P = nullspace_vecs(A, 1)[0].reshape(3, 4)
     M = P[:, :3]
     # scale & sign: det(R) > 0
     s = jnp.sign(jnp.linalg.det(M))
@@ -351,6 +352,24 @@ def _normalize_points(uv: Array, mask: Array | None = None) -> tuple[Array, Arra
     return (uv - mean) * s, T
 
 
+
+def nullspace_vecs(A: Array, k: int) -> Array:
+    """Last-k right singular vectors of A ([n,d]) as rows [k,d], ordered most
+    -null first — via eigh of the d x d Gram matrix instead of a full SVD.
+
+    jnp.linalg.svd(A, full_matrices=True) materializes the n x n U factor:
+    for the LO refits that re-solve on all (padded) correspondences n is the
+    2048-point cap, so each refit built a 2048x2048 U it never read — the
+    dominant cost of the fused EFH verification program (measured r5). The
+    d x d (<= 9 here) symmetric eigendecomposition gives the same nullspace
+    basis at O(n d^2) + O(d^3); inputs are Hartley-normalized so the squared
+    conditioning of the Gram matrix is benign at f32.
+    """
+    M = A.T @ A
+    _, V = jnp.linalg.eigh(M)  # ascending eigenvalues
+    return V[:, :k].T
+
+
 def eight_point(uv1: Array, uv2: Array, mask: Array | None = None, essential: bool = False) -> Array:
     """8-point algorithm for F (or E with manifold projection).
 
@@ -367,8 +386,7 @@ def eight_point(uv1: Array, uv2: Array, mask: Array | None = None, essential: bo
     A = jnp.stack(
         [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, jnp.ones_like(x1)], axis=-1
     ) * m[:, None]
-    _, _, vt = jnp.linalg.svd(A, full_matrices=True)  # full: nullspace vector needed for minimal samples
-    F = vt[-1].reshape(3, 3)
+    F = nullspace_vecs(A, 1)[0].reshape(3, 3)
     U, S, Vt = jnp.linalg.svd(F)
     if essential:
         S2 = jnp.array([1.0, 1.0, 0.0])
@@ -396,9 +414,9 @@ def seven_point(uv1: Array, uv2: Array) -> tuple[Array, Array]:
     A = jnp.stack(
         [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, jnp.ones_like(x1)], axis=-1
     )
-    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
-    F1 = vt[-1].reshape(3, 3)
-    F2 = vt[-2].reshape(3, 3)
+    ns = nullspace_vecs(A, 2)
+    F1 = ns[0].reshape(3, 3)
+    F2 = ns[1].reshape(3, 3)
 
     # det(F1 + t F2) = c3 t^3 + c2 t^2 + c1 t + c0 via 4-point interpolation
     def det_at(t):
@@ -457,8 +475,7 @@ def _five_point_poly(uv1: Array, uv2: Array):
         [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, jnp.ones_like(x1)],
         axis=-1,
     )  # [5,9], rows of x2^T E x1 = 0 with E row-major
-    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
-    Eb = vt[-4:].reshape(4, 3, 3)  # E = x Eb[0] + y Eb[1] + z Eb[2] + Eb[3]
+    Eb = nullspace_vecs(A, 4)[::-1].reshape(4, 3, 3)  # E = x Eb[0] + y Eb[1] + z Eb[2] + Eb[3]
 
     # --- trace-time symbolic polynomials over monomials x^i y^j z^k --------
     def pmul(p, q):
@@ -691,8 +708,7 @@ def homography_dlt(uv1: Array, uv2: Array, mask: Array | None = None) -> Array:
     r1 = jnp.stack([-x1, -y1, -o, z, z, z, x2 * x1, x2 * y1, x2], axis=-1)
     r2 = jnp.stack([z, z, z, -x1, -y1, -o, y2 * x1, y2 * y1, y2], axis=-1)
     A = jnp.concatenate([r1 * m[:, None], r2 * m[:, None]], axis=0)
-    _, _, vt = jnp.linalg.svd(A, full_matrices=True)  # full: nullspace vector needed for minimal samples
-    H = vt[-1].reshape(3, 3)
+    H = nullspace_vecs(A, 1)[0].reshape(3, 3)
     Hn = jnp.linalg.solve(T2, H @ T1)
     return Hn / jnp.where(jnp.abs(Hn[2, 2]) < 1e-12, 1e-12, Hn[2, 2])
 

@@ -113,3 +113,85 @@ def match_pair_list(
         rows = np.nonzero(ok[k])[0]
         out[(i, j)] = np.stack([rows, idx[k][rows]], -1).astype(np.int32)
     return out
+
+
+class MatchPool:
+    """Replicated descriptor pool + sharded pair-index matching.
+
+    The stacked [B, N, D] pair-batch path above re-uploads every image's
+    descriptors once PER PAIR it appears in (sequential overlap-5 matching
+    re-ships each image ~10x), and the upload sits inside the dispatch path —
+    the r3 scaling table showed matching at 0.59x on 8 devices because the
+    per-batch host->device traffic grew with the mesh. This pool keeps ONE
+    normalized copy of every image's descriptors replicated on all devices
+    and ships only int32 pair indices per batch (sharded over the mesh); each
+    device gathers its shard's pairs from the local pool replica — zero
+    collectives, per-batch traffic B*8 bytes instead of B*2*N*D*4.
+    """
+
+    def __init__(
+        self,
+        descs: dict[int, np.ndarray],
+        mesh: jax.sharding.Mesh | None = None,
+        axis: str = "work",
+        cap: int = 2048,
+        opts: matching_ops.MatchingOptions = matching_ops.MatchingOptions(),
+    ):
+        self.mesh = mesh
+        self.axis = axis
+        self.opts = opts
+        self.ids = sorted(descs.keys())
+        self.row_of = {iid: r for r, iid in enumerate(self.ids)}
+        I = len(self.ids)
+        pool = np.zeros((I, cap, 128), np.float32)
+        valid = np.zeros((I, cap), np.float32)
+        for r, iid in enumerate(self.ids):
+            d = np.asarray(descs[iid], np.float32)
+            n = min(len(d), cap)
+            if n:
+                pool[r, :n] = d[:n] / np.maximum(
+                    np.linalg.norm(d[:n], axis=1, keepdims=True), 1e-8
+                )
+                valid[r, :n] = 1.0
+        if mesh is not None:
+            rep = NamedSharding(mesh, P())  # replicated once, reused per batch
+            self.pool = jax.device_put(jnp.asarray(pool), rep)
+            self.valid = jax.device_put(jnp.asarray(valid), rep)
+        else:
+            self.pool = jnp.asarray(pool)
+            self.valid = jnp.asarray(valid)
+
+    def match_pairs(self, pairs: list[tuple[int, int]]):
+        """[(i, j)] image-id pairs -> (idx [B,cap], ok [B,cap]) numpy."""
+        B = len(pairs)
+        nd = self.mesh.devices.size if self.mesh is not None else 1
+        Bp = -(-B // nd) * nd
+        ii = np.zeros(Bp, np.int32)
+        jj = np.zeros(Bp, np.int32)
+        for k, (i, j) in enumerate(pairs):
+            ii[k] = self.row_of[i]
+            jj[k] = self.row_of[j]
+        fn = _pool_runner(self.mesh, self.axis, self.opts)
+        idx, ok = fn(self.pool, self.valid, jnp.asarray(ii), jnp.asarray(jj))
+        return np.asarray(idx)[:B], np.asarray(ok)[:B]
+
+
+@functools.lru_cache(maxsize=16)
+def _pool_runner(mesh, axis: str, opts: matching_ops.MatchingOptions):
+    def run(pool, valid, ii, jj):
+        def one(i, j):
+            return matching_ops.match_descriptors(
+                pool[i], pool[j], valid[i], valid[j], opts
+            )[:2]
+
+        return jax.vmap(one)(ii, jj)
+
+    if mesh is None:
+        return jax.jit(run)
+    rep = NamedSharding(mesh, P())
+    sh1 = NamedSharding(mesh, P(axis))
+    return jax.jit(
+        run,
+        in_shardings=(rep, rep, sh1, sh1),
+        out_shardings=(sh1, sh1),
+    )

@@ -52,6 +52,12 @@ class SiftMatchingConfig:
     min_num_inliers: int = 15
     guided_matching: bool = False
     use_pallas: bool = False  # fused Pallas top-2 matcher (TPU)
+    # hypothesis-bank size for match-stage two-view verification; the
+    # registration-time init-pair estimation keeps TwoViewOptions' 2048 —
+    # matcher-stage geometry only gates pairs and seeds the correspondence
+    # graph (the mapper re-estimates via PnP/triangulation/BA), so a half
+    # bank + PROSAC + LO trades negligible recall for ~2x verify throughput
+    num_hypotheses: int = 1024
 
 
 @dataclass

@@ -79,6 +79,29 @@ class DeviceExecutor:
         self._ensure_thread()
         fut: Future = Future()
         q = self._idle if idle else (self._prio if priority else self._bg)
+        if priority and not idle:
+            # account the mapper's queue wait (time a priority section spends
+            # behind an in-flight background section) into the phase report —
+            # it is wall-clock inside local/global refinement that no inner
+            # phase sees (SURVEY §5.1 observability)
+            import time as _time
+
+            from .logging_utils import PHASES
+
+            t_submit = _time.time()
+            inner = fn
+
+            def timed(*a, **k):
+                wait = _time.time() - t_submit
+                PHASES.totals["exec_wait_prio"] = (
+                    PHASES.totals.get("exec_wait_prio", 0.0) + wait
+                )
+                PHASES.counts["exec_wait_prio"] = (
+                    PHASES.counts.get("exec_wait_prio", 0) + 1
+                )
+                return inner(*a, **k)
+
+            fn = timed
         with self._cv:
             q.append((fut, fn, args, kwargs or {}))
             self._cv.notify()

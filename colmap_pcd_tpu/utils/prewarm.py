@@ -190,6 +190,7 @@ def _compile_one(entry: dict):
 
         B, cap = entry["B"], entry["cap"]
         ro = ransac_ops.RansacOptions(**entry["opts"])
+        cls = tuple(entry.get("cls", (15, 0.95, 0.8)))
         tv._ransac_efh_batch.lower(
             jnp.zeros((B, cap, 2), jnp.float32),
             jnp.zeros((B, cap, 2), jnp.float32),
@@ -200,12 +201,7 @@ def _compile_one(entry: dict):
             ro,
             jnp.ones((B,), jnp.float32),
             jnp.zeros((B, cap), jnp.float32),
-        ).compile()
-        tv._pose_recovery_batch.lower(
-            jnp.zeros((B, 3, 3), jnp.float32),
-            jnp.zeros((B, cap, 2), jnp.float32),
-            jnp.zeros((B, cap, 2), jnp.float32),
-            jnp.zeros((B, cap), jnp.float32),
+            cls,
         ).compile()
 
 

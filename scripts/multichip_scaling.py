@@ -3,7 +3,7 @@
 Times the three distributed kernels — dist_matching (pair-sharded descriptor
 matching), dist_ba (point-sharded Schur BA, camera system psum-reduced), and
 dist_mvs (view-sharded plane sweeps) — at n ∈ {1,2,4,8} devices with a FIXED
-total workload, and writes the wall-clock table to MULTICHIP_SCALING_r3.json.
+total workload, and writes the wall-clock table to MULTICHIP_SCALING_r5.json.
 
 Honesty note recorded in the JSON: the mesh is XLA's virtual host-platform
 device mesh (xla_force_host_platform_device_count), so "devices" are host
@@ -50,34 +50,35 @@ def _time(fn):
     return best
 
 
-def bench_matching(mesh, n):
-    """Fixed total: 32 pairs of 1024x128 descriptors, sharded over devices."""
+def _matching_workload():
+    """64 images of 1024x128 descriptors, 64 sequential overlap pairs."""
     rng = np.random.default_rng(0)
-    B, N, D = 32, 1024, 128
-    d = rng.normal(size=(2 * B, N, D)).astype(np.float32)
-    d /= np.linalg.norm(d, axis=-1, keepdims=True)
-    v = np.ones((B, N), np.float32)
-    d1, d2 = d[:B], d[B:]
+    I, N, D = 64, 1024, 128
+    descs = {i: rng.normal(size=(N, D)).astype(np.float32) for i in range(I)}
+    pairs = [(i, (i + 1) % I) for i in range(I)]
+    return descs, pairs
+
+
+def bench_matching(mesh, n):
+    """Fixed total: replicated descriptor pool, pair INDICES sharded
+    (MatchPool — the r5 redesign; the old stacked path re-shipped ~34 MB of
+    descriptors per batch and anti-scaled)."""
+    descs, pairs = _matching_workload()
+    pool = dist_matching.MatchPool(descs, mesh=mesh, axis="work", cap=1024)
 
     def run():
-        idx, ok = dist_matching.match_pairs_batch(d1, d2, v, v, mesh=mesh, axis="work")
-        jax.block_until_ready(ok)
+        idx, ok = pool.match_pairs(pairs)
 
     return _time(run)
 
 
 def bench_matching_local(n=None):
-    """Single-device baseline: same workload, no mesh."""
-    rng = np.random.default_rng(0)
-    B, N, D = 32, 1024, 128
-    d = rng.normal(size=(2 * B, N, D)).astype(np.float32)
-    d /= np.linalg.norm(d, axis=-1, keepdims=True)
-    v = np.ones((B, N), np.float32)
-    d1, d2 = d[:B], d[B:]
+    """Single-device baseline: same pool workload, no mesh."""
+    descs, pairs = _matching_workload()
+    pool = dist_matching.MatchPool(descs, mesh=None, cap=1024)
 
     def run():
-        idx, ok = dist_matching.match_pairs_batch(d1, d2, v, v, mesh=None)
-        jax.block_until_ready(ok)
+        idx, ok = pool.match_pairs(pairs)
 
     return _time(run)
 
@@ -174,7 +175,7 @@ def main():
         row["speedup_mvs"] = round(base["mvs_s"] / row["mvs_s"], 2)
     out = {
         "workloads": {
-            "matching": "32 pairs x 1024x128 descriptors (pair-sharded)",
+            "matching": "64 pairs over a 64-image replicated pool of 1024x128 descriptors (pair indices sharded, MatchPool)",
             "dist_ba": "64 cams / 4096 pts corridor, 8 LM iters (point-sharded, psum-reduced camera system)",
             "mvs": "8 views 128x160, 4 srcs, 32 depths (view-sharded)",
         },
@@ -186,9 +187,9 @@ def main():
         },
         "table": table,
     }
-    with open(Path(__file__).resolve().parents[1] / "MULTICHIP_SCALING_r3.json", "w") as f:
+    with open(Path(__file__).resolve().parents[1] / "MULTICHIP_SCALING_r5.json", "w") as f:
         json.dump(out, f, indent=2)
-    print("wrote MULTICHIP_SCALING_r3.json")
+    print("wrote MULTICHIP_SCALING_r5.json")
 
 
 if __name__ == "__main__":

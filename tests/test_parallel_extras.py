@@ -46,6 +46,26 @@ def test_match_pair_list(rng):
     assert (m12[:, 0] == m12[:, 1]).all()
 
 
+def test_match_pool_sharded_matches_local(rng):
+    """MatchPool (replicated pool + sharded pair indices) must produce the
+    SAME matches as the local stacked path — and pads ragged batches."""
+    mesh = cpu_mesh((4,), ("work",))
+    base = make_descriptors(rng, 100)
+    descs = {
+        i: ((base + rng.normal(0, 0.03, base.shape)) * 255).astype(np.float32)
+        for i in range(1, 7)
+    }  # noisy copies of one scene: every pair matches
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]  # 5 pairs on 4 devices
+    pool_m = dist_matching.MatchPool(descs, mesh=mesh, cap=128)
+    pool_l = dist_matching.MatchPool(descs, mesh=None, cap=128)
+    idx_m, ok_m = pool_m.match_pairs(pairs)
+    idx_l, ok_l = pool_l.match_pairs(pairs)
+    assert (ok_m == ok_l).all()
+    assert (idx_m[ok_m] == idx_l[ok_l]).all()
+    assert ok_m.shape[0] == len(pairs)
+    assert ok_m.any(axis=1).all()  # every pair found matches
+
+
 def test_seven_point_fundamental(rng):
     q2 = se3.so3_exp_quat(jnp.asarray(rng.normal(size=3) * 0.1, jnp.float32))
     t2 = jnp.asarray([1.0, 0.3, -0.2], jnp.float32)
