@@ -27,11 +27,18 @@ so this labeled derivation stands in for a measured baseline.
 Prints ONE JSON line.
 """
 
+import faulthandler
 import json
 import os
+import signal
 import sys
 import tempfile
 import time
+
+# kill -USR1 <pid> dumps every thread's Python stack to stderr — the axon
+# tunnel can park remote RPCs for minutes and this is the only way to see
+# where a silent run actually is
+faulthandler.register(signal.SIGUSR1, all_threads=True)
 
 sys.path.insert(0, "tests")
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -261,6 +268,19 @@ def main():
             f"/ {busy:.1f}s busy ({n_pairs/max(busy,1e-9):.2f} pairs/s busy, "
             f"overlapped with extraction + mapping)")
     ate = ate_rmse(rec, gt) if ok else float("inf")
+    # per-image error profile (drift diagnosis: where does ATE accumulate?)
+    from colmap_pcd_tpu.ops import np_geom as _npg
+    errs_i = []
+    for i, (q, t) in enumerate(gt, start=1):
+        img = rec.images.get(i)
+        if img is not None and img.registered:
+            e = float(np.linalg.norm(img.projection_center() - _npg.projection_center(q, t)))
+            errs_i.append((i, e))
+    if errs_i:
+        es = np.asarray([e for _, e in errs_i])
+        log(f"ATE profile: p50 {np.median(es)*1000:.1f} p90 "
+            f"{np.percentile(es, 90)*1000:.1f} max {es.max()*1000:.1f} mm "
+            f"(argmax image {errs_i[int(np.argmax(es))][0]})")
     log(f"mapping: {rec.num_reg_images}/{n_images} images in {map_s:.1f}s, "
         f"ATE {ate*1000:.1f} mm")
     log("phase breakdown:\n" + PHASES.report())
@@ -303,6 +323,12 @@ def main():
         "n_images": n_images,
         "registered": n_reg,
         "ate_m": round(ate, 4),
+        "ate_profile_mm": {
+            "p50": round(float(np.median(es)) * 1000, 1),
+            "p90": round(float(np.percentile(es, 90)) * 1000, 1),
+            "max": round(float(es.max()) * 1000, 1),
+        } if errs_i else None,
+        "err_curve_mm": [round(float(e) * 1000, 1) for _, e in errs_i[:: max(1, len(errs_i) // 40)]],
         "first_half_fps": round(first_half_fps, 4),
         "reg_s_curve": curve[:: max(1, len(curve) // 40)],
         "extract_img_per_s": round(n_images / extract_s, 3),

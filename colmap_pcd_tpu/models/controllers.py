@@ -50,7 +50,12 @@ class ControllerOptions:
     ba_global_max_refinement_change: float = 0.0005
     ba_global_images_ratio: float = 1.1
     ba_global_points_ratio: float = 1.1
-    ba_global_images_freq: int = 500
+    # the lidar fork HARD-CADENCES global (spherical) BA to every 5 newly
+    # registered images (controllers/incremental_mapper.h:182 — upstream
+    # COLMAP uses 500); the frequent lidar-constrained global refinement is
+    # its primary drift corrector at scale, and with 500 the r5 450-image
+    # run drifted to 39 mm ATE on the ratio-only cadence
+    ba_global_images_freq: int = 5
     ba_global_points_freq: int = 250000
     # final whole-map rounds: re-run iterative global refinement at model
     # completion with the spherical window lifted (all poses variable) —
@@ -90,6 +95,7 @@ class IncrementalMapperController:
         self.copts = controller_options or ControllerOptions()
         self.mapper = IncrementalMapper(rec, graph, lidar_map, pose_priors)
         self.state = MapperState()
+        self._imgs_at_last_global: set[int] = set()
         self.callbacks = []  # called after each registration
         # overlapped frontend (models/overlap.py): verified pairs and images
         # stream in WHILE mapping runs; drained at the loop top
@@ -164,10 +170,35 @@ class IncrementalMapperController:
             if changed / denom < self.copts.ba_local_max_refinement_change:
                 break
 
-    def iterative_global_refinement(self):
-        """(:150-180): complete+merge, then repeated global BA + filtering."""
+    def iterative_global_refinement(self, full: bool = True):
+        """(:150-180): complete+merge, then repeated global BA + filtering.
+
+        full=False scopes the CompleteAndMergeTracks sweep to the points
+        observed by images registered since the last global round (plus their
+        merge partners found transitively by merge_tracks itself): the lidar
+        fork cadences global refinement to EVERY 5 registrations
+        (incremental_mapper.h:182), and a full sweep over all tracks at that
+        frequency re-examined the same long-settled points ~100x per run
+        (195 s of the r5 450-image wall). Ratio-triggered rounds and the
+        final refinement keep the full sweep, so every point is still
+        periodically revisited — the same local/global split the spherical
+        BA itself applies."""
         opts = self.opts
-        tri_opts_pids = list(self.rec.points3D.keys())
+        if full:
+            tri_opts_pids = list(self.rec.points3D.keys())
+        else:
+            recent = [
+                iid for iid in self.rec.registered_ids
+                if iid not in self._imgs_at_last_global
+            ]
+            pids = set()
+            for iid in recent:
+                img = self.rec.images[iid]
+                from .reconstruction import INVALID_POINT3D
+
+                for p in img.point3D_ids[img.point3D_ids != INVALID_POINT3D]:
+                    pids.add(int(p))
+            tri_opts_pids = [p for p in pids if p in self.rec.points3D]
         from .triangulator import TriangulatorOptions
 
         topts = TriangulatorOptions(min_angle=opts.filter_min_tri_angle)
@@ -203,12 +234,24 @@ class IncrementalMapperController:
                 break
         self.state.num_img_last_global_ba = self.rec.num_reg_images
         self.state.num_pts_last_global_ba = len(self.rec.points3D)
+        self._imgs_at_last_global = set(self.rec.registered_ids)
 
     def _check_global_refinement(self) -> bool:
         s = self.state
         return (
             self.rec.num_reg_images >= self.copts.ba_global_images_ratio * s.num_img_last_global_ba
             or self.rec.num_reg_images >= self.copts.ba_global_images_freq + s.num_img_last_global_ba
+            or len(self.rec.points3D) >= self.copts.ba_global_points_ratio * s.num_pts_last_global_ba
+            or len(self.rec.points3D) >= self.copts.ba_global_points_freq + s.num_pts_last_global_ba
+        )
+
+    def _global_refinement_is_full(self) -> bool:
+        """True when a ratio/points trigger fired (scene grew materially) —
+        those rounds sweep all tracks; pure every-5-images cadence rounds
+        scope to recently-touched points (see iterative_global_refinement)."""
+        s = self.state
+        return (
+            self.rec.num_reg_images >= self.copts.ba_global_images_ratio * s.num_img_last_global_ba
             or len(self.rec.points3D) >= self.copts.ba_global_points_ratio * s.num_pts_last_global_ba
             or len(self.rec.points3D) >= self.copts.ba_global_points_freq + s.num_pts_last_global_ba
         )
@@ -281,8 +324,9 @@ class IncrementalMapperController:
                     with PHASES.phase("local_refinement"):
                         self.iterative_local_refinement(image_id)
                     if self._check_global_refinement():
+                        full = self._global_refinement_is_full()
                         with PHASES.phase("global_refinement"):
-                            self.iterative_global_refinement()
+                            self.iterative_global_refinement(full=full)
                     if self.copts.image_path and self.copts.extract_colors:
                         # per-registration point coloring (ExtractColors,
                         # controllers/incremental_mapper.cc:205-214,734)

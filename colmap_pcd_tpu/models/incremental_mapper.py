@@ -240,6 +240,10 @@ class IncrementalMapper:
         todo = [
             i for i in dict.fromkeys(image_ids) if self._proj_cached(i) is None
         ]
+        PHASES.totals.setdefault("proj_cache_miss_imgs", 0.0)
+        PHASES.counts["proj_cache_miss_imgs"] = (
+            PHASES.counts.get("proj_cache_miss_imgs", 0) + len(todo)
+        )
         if len(todo) < 2 or self.lidar_map is None:
             return
         by_cam: dict[int, list[int]] = {}
@@ -982,6 +986,16 @@ class IncrementalMapper:
         ):
             with PHASES.phase("lidar_assoc_proj"):
                 self._match_variable_points_to_lidar(proj_pids, image_id, opts)
+            # work-size accounting (shows as xN in the phase report): per-call
+            # cost of the two association paths scales with these counts
+            PHASES.totals.setdefault("lidar_proj_pts", 0.0)
+            PHASES.counts["lidar_proj_pts"] = (
+                PHASES.counts.get("lidar_proj_pts", 0) + len(proj_pids)
+            )
+            PHASES.totals.setdefault("lidar_icp_pts", 0.0)
+            PHASES.counts["lidar_icp_pts"] = (
+                PHASES.counts.get("lidar_icp_pts", 0) + len(icp_pids)
+            )
             with PHASES.phase("local_ranges_host"):
                 ranges = [
                     max(
