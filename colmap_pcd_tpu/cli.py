@@ -52,15 +52,19 @@ def cmd_sequential_matcher(argv):
     om, rest = _opt([a for a in argv if not a.startswith("--Sequential")])
     overlap = 10
     loop = False
+    rerank = False
     it = iter(argv)
     for a in it:
         if a == "--SequentialMatching.overlap":
             overlap = int(next(it))
         if a == "--SequentialMatching.loop_detection":
             loop = next(it).lower() in ("1", "true")
+        if a == "--SequentialMatching.spatial_rerank":
+            rerank = next(it).lower() in ("1", "true")
     from .models.feature_pipeline import run_sequential_matcher
 
-    n = run_sequential_matcher(om.database_path, om.sift_matching, overlap=overlap, loop_detection=loop)
+    n = run_sequential_matcher(om.database_path, om.sift_matching, overlap=overlap,
+                               loop_detection=loop, loop_spatial_rerank=rerank)
     print(f"Verified {n} image pairs")
     return 0
 
@@ -75,10 +79,21 @@ def cmd_transitive_matcher(argv):
 
 
 def cmd_vocab_tree_matcher(argv):
-    om, _ = _opt(argv)
+    om, _ = _opt([a for a in argv if not a.startswith("--VocabTreeMatching")])
+    rerank = False
+    num_images = 100
+    it = iter(argv)
+    for a in it:
+        if a == "--VocabTreeMatching.num_images":
+            num_images = int(next(it))
+        if a == "--VocabTreeMatching.spatial_rerank":
+            # vote-and-verify re-ranking of the retrieval shortlist
+            # (retrieval/vote_and_verify.cc analog)
+            rerank = next(it).lower() in ("1", "true")
     from .models.feature_pipeline import run_vocab_tree_matcher
 
-    n = run_vocab_tree_matcher(om.database_path, om.sift_matching)
+    n = run_vocab_tree_matcher(om.database_path, om.sift_matching,
+                               num_images=num_images, spatial_rerank=rerank)
     print(f"Verified {n} retrieved pairs")
     return 0
 

@@ -679,9 +679,13 @@ def run_sequential_matcher(
     loop_detection: bool = False,
     loop_detection_period: int = 10,
     loop_detection_num_images: int = 30,
+    loop_spatial_rerank: bool = False,
 ) -> int:
     """Consecutive-pair matching with optional retrieval loop closure
-    (SequentialFeatureMatcher, matching.h:434)."""
+    (SequentialFeatureMatcher, matching.h:434). loop_spatial_rerank re-ranks
+    loop candidates by vote-and-verify effective inliers (the reference's
+    spatial-verification retrieval mode) — the false-loop suppressor on
+    repetitive structure."""
     db = Database(database_path)
     w = _MatchWorker(db, config)
     ids = sorted(db.images().keys())  # name-ordered assumed == id order
@@ -691,7 +695,10 @@ def run_sequential_matcher(
         from ..ops import retrieval
 
         index = retrieval.build_index(
-            {i: np.asarray(db.read_descriptors(i), np.float32) for i in ids}
+            {i: np.asarray(db.read_descriptors(i), np.float32) for i in ids},
+            geoms_by_image={
+                i: np.asarray(db.read_keypoints(i), np.float32)[:, :4] for i in ids
+            } if loop_spatial_rerank else None,
         )
         # set-based dedup, seeded with the sequential pairs so overlapping
         # loop candidates are neither re-matched nor double-counted
@@ -699,7 +706,10 @@ def run_sequential_matcher(
         loop_pairs = []
         for a in range(0, len(ids), loop_detection_period):
             i = ids[a]
-            cand = retrieval.query(index, i, loop_detection_num_images)
+            cand = retrieval.query(
+                index, i, loop_detection_num_images,
+                rerank=loop_spatial_rerank,
+            )
             for j in cand:
                 key = (min(i, j), max(i, j))
                 if j != i and key not in seen:
@@ -866,20 +876,29 @@ def run_vocab_tree_matcher(
     database_path: str,
     config: SiftMatchingConfig = SiftMatchingConfig(),
     num_images: int = 100,
+    spatial_rerank: bool = False,
+    num_verify: int = 20,
 ) -> int:
     """Retrieval-based matching (VocabTreeFeatureMatcher, matching.h:455):
-    VLAD global descriptors instead of a FLANN vocab tree."""
+    VLAD global descriptors instead of a FLANN vocab tree. spatial_rerank
+    re-orders each query's shortlist by vote-and-verify effective inlier
+    count (retrieval/vote_and_verify.cc analog, ops/vote_verify.py)."""
     from ..ops import retrieval
 
     db = Database(database_path)
     w = _MatchWorker(db, config)
     ids = sorted(db.images().keys())
     index = retrieval.build_index(
-        {i: np.asarray(db.read_descriptors(i), np.float32) for i in ids}
+        {i: np.asarray(db.read_descriptors(i), np.float32) for i in ids},
+        geoms_by_image={
+            i: np.asarray(db.read_keypoints(i), np.float32)[:, :4] for i in ids
+        } if spatial_rerank else None,
     )
     pair_list = []
     for i in ids:
-        for j in retrieval.query(index, i, num_images):
+        for j in retrieval.query(
+            index, i, num_images, rerank=spatial_rerank, num_verify=num_verify
+        ):
             if j > i and (i, j) not in pair_list:
                 pair_list.append((i, j))
     n = w.match_pairs(pair_list)

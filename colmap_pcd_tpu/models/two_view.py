@@ -164,13 +164,14 @@ def estimate_two_view_geometry(
         return out
     from ..ops import np_geom
 
-    # pad the match count to a power-of-FOUR bucket (128/512/2048/...):
+    # pad the match count to a power-of-TWO bucket (128/256/512/1024/2048):
     # per-pair match counts vary freely, each distinct cap compiles the fused
-    # E/F/H program once (minutes through the axon tunnel), and RANSAC cost
-    # is dominated by the hypothesis count, not the padded point count
+    # E/F/H program once (cached + prewarmed), and the LO refits/verification
+    # scale with the padded count — the old power-of-4 ladder made a
+    # 600-match pair pay the 2048 cap
     import math as _math
 
-    cap = 128 * 4 ** max(0, _math.ceil(_math.log(max(N, 1) / 128, 4)))
+    cap = 128 * 2 ** max(0, _math.ceil(_math.log2(max(N, 1) / 128)))
     uv1p = np.concatenate([uv1, np.zeros((cap - N, 2))]) if cap > N else uv1
     uv2p = np.concatenate([uv2, np.zeros((cap - N, 2))]) if cap > N else uv2
     valid = jnp.asarray(np.arange(cap) < N, jnp.float32)
@@ -338,7 +339,7 @@ def two_view_verify_dispatch(
     if not idxs:
         return None, {"idxs": [], "n_items": len(items)}
     Nmax = max(items[k]["uv1"].shape[0] for k in idxs)
-    cap = 128 * 4 ** max(0, _math.ceil(_math.log(max(Nmax, 1) / 128, 4)))
+    cap = 128 * 2 ** max(0, _math.ceil(_math.log2(max(Nmax, 1) / 128)))
     B = len(idxs)
     uv1 = np.zeros((B, cap, 2), np.float32)
     uv2 = np.zeros((B, cap, 2), np.float32)

@@ -36,12 +36,23 @@ from concurrent.futures import Future
 
 
 class DeviceExecutor:
+    # after a priority section completes, background sections yield for this
+    # long. MEASURED OFF (r5): at 80 ms the mapper's inter-section host gaps
+    # are so short while registering that the frontend starved (extraction
+    # 1.3 -> 0.74 img/s, mapping ended up waiting on the pair feed), and
+    # exec_wait_prio only fell 26.6 -> 20.8 s — the wait is dominated by
+    # in-flight section residuals, not queue admission. Kept as a tunable
+    # (0 = no hold-off) because the trade-off flips when matching has no
+    # slack (e.g. exhaustive matching on short sequences).
+    BG_HOLDOFF = 0.0
+
     def __init__(self):
         self._cv = threading.Condition()
         self._prio: deque = deque()
         self._bg: deque = deque()
         self._idle: deque = deque()
         self._thread: threading.Thread | None = None
+        self._last_prio_end = 0.0
 
     def _ensure_thread(self):
         with self._cv:
@@ -52,22 +63,33 @@ class DeviceExecutor:
                 self._thread.start()
 
     def _run(self):
+        import time as _time
+
         while True:
             with self._cv:
-                while not self._prio and not self._bg and not self._idle:
-                    self._cv.wait()
-                if self._prio:
-                    fut, fn, args, kwargs = self._prio.popleft()
-                elif self._bg:
-                    fut, fn, args, kwargs = self._bg.popleft()
-                else:
-                    fut, fn, args, kwargs = self._idle.popleft()
+                while True:
+                    if self._prio:
+                        kind = "prio"
+                        fut, fn, args, kwargs = self._prio.popleft()
+                        break
+                    holdoff = self._last_prio_end + self.BG_HOLDOFF - _time.monotonic()
+                    if (self._bg or self._idle) and holdoff <= 0:
+                        if self._bg:
+                            fut, fn, args, kwargs = self._bg.popleft()
+                        else:
+                            fut, fn, args, kwargs = self._idle.popleft()
+                        kind = "bg"
+                        break
+                    self._cv.wait(timeout=holdoff if holdoff > 0 else None)
             if not fut.set_running_or_notify_cancel():
                 continue
             try:
                 fut.set_result(fn(*args, **kwargs))
             except BaseException as e:  # propagate to the submitting thread
                 fut.set_exception(e)
+            if kind == "prio":
+                with self._cv:
+                    self._last_prio_end = _time.monotonic()
 
     def run(self, fn, args=(), kwargs=None, priority=True, idle=False):
         """Run fn on the device thread, blocking until it completes.
