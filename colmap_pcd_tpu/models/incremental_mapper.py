@@ -169,7 +169,7 @@ class IncrementalMapper:
         )
         # per-image depth-projection cache for the current BA round
         # (lidar_searched_image_ids_, bundle_adjustment.h:189)
-        self._proj_cache: dict[int, tuple[tuple[int, int, int], dict]] = {}
+        self._proj_cache: dict[int, tuple[tuple[int, int, int], tuple, dict]] = {}
         # optional (mesh, axis): route every BA solve through the
         # distributed Schur solver (parallel/dist_ba.py) over this mesh
         self.dist_mesh: tuple | None = None
@@ -198,11 +198,37 @@ class IncrementalMapper:
             ),
         )
 
+    # pose tolerance under which a cached depth projection stays valid: the
+    # association (which lidar point a feature ray hits) is stable under
+    # millimeter pose nudges, and the second local-refinement iteration's
+    # re-projection after a converged local BA step was pure recompute
+    # (~0.17 s per registration at 450 images). Translation in meters;
+    # rotation bound via quaternion distance. 0 disables the tolerance
+    # (exact epoch semantics, the pre-r5 behavior).
+    PROJ_CACHE_POSE_TOL = 5e-3
+
     def _proj_cached(self, image_id: int):
         e = self._proj_cache.get(image_id)
-        if e is not None and e[0] == self._proj_stamp(image_id):
-            return e[1]
+        if e is None:
+            return None
+        stamp, pose, result = e
+        cur = self._proj_stamp(image_id)
+        if stamp == cur:
+            return result
+        # mut/cam epoch changes always invalidate; a pose-only change is
+        # tolerated while the pose stays within PROJ_CACHE_POSE_TOL
+        if stamp[1:] == cur[1:] and self.PROJ_CACHE_POSE_TOL > 0:
+            img = self.rec.images[image_id]
+            if (
+                np.linalg.norm(img.tvec - pose[1]) < self.PROJ_CACHE_POSE_TOL
+                and np.linalg.norm(img.qvec - pose[0]) < self.PROJ_CACHE_POSE_TOL
+            ):
+                return result
         return None
+
+    def _pose_of(self, image_id: int):
+        img = self.rec.images[image_id]
+        return (np.array(img.qvec, np.float64), np.array(img.tvec, np.float64))
 
     def _project_image_to_cloud(self, image_id: int):
         """SetNewImage(map overload): associate this image's triangulated
@@ -230,7 +256,7 @@ class IncrementalMapper:
                 if out["found"][k]:
                     pid = int(img.point3D_ids[fi])
                     result[pid] = (out["lidar_pt"][k], out["lidar_nrm"][k])
-        self._proj_cache[image_id] = (stamp, result)
+        self._proj_cache[image_id] = (stamp, self._pose_of(image_id), result)
         return result
 
     def _project_images_to_cloud(self, image_ids):
@@ -258,7 +284,9 @@ class IncrementalMapper:
             F = max((f.size for f in feat_sets), default=0)
             if F == 0:
                 for iid in iids:
-                    self._proj_cache[iid] = (self._proj_stamp(iid), {})
+                    self._proj_cache[iid] = (
+                        self._proj_stamp(iid), self._pose_of(iid), {}
+                    )
                 continue
             B = len(iids)
             fxy = np.zeros((B, F, 2), np.float32)
@@ -283,6 +311,7 @@ class IncrementalMapper:
                 ln = out["lidar_nrm"][b, hit]
                 self._proj_cache[iid] = (
                     self._proj_stamp(iid),
+                    self._pose_of(iid),
                     {int(p): (lp[k], ln[k]) for k, p in enumerate(pids)},
                 )
 
