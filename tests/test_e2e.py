@@ -90,3 +90,35 @@ def test_e2e_classic_no_lidar():
     rec.update_point_errors()
     errs = [p.error for p in rec.points3D.values() if p.error >= 0]
     assert np.median(errs) < 1.0, np.median(errs)
+
+
+def test_scoped_vs_full_global_refinement_equivalent_accuracy():
+    """The every-5-registrations global cadence (incremental_mapper.h:182)
+    scopes CompleteAndMergeTracks to recently-touched points; a run with
+    scoping forced OFF (every round full) must land at the same ATE within
+    noise, and scoping must not lose registrations."""
+    results = {}
+    for scoped in (True, False):
+        rng = np.random.default_rng(11)
+        rec, graph, lmap, gt = make_world(rng, n_images=10, n_points=700, noise_px=0.3)
+        opts = MapperOptions(
+            if_add_lidar_constraint=True,
+            init_image_id1=1, init_image_id2=2,
+            abs_pose_min_num_inliers=15,
+            init_min_num_inliers=50,
+            num_ransac_hypotheses=1024,
+        )
+        copts = ControllerOptions(verbose=False, ba_global_images_freq=3)
+        ctl = IncrementalMapperController(
+            rec, graph, opts, copts, lidar_map=lmap, pose_priors={1: gt[0]}
+        )
+        if not scoped:
+            # force every round to sweep all tracks
+            ctl._global_refinement_is_full = lambda: True
+        assert ctl.reconstruct()
+        results[scoped] = (rec.num_reg_images, ate_rmse(rec, gt))
+    n_s, ate_s = results[True]
+    n_f, ate_f = results[False]
+    assert n_s == n_f, results
+    assert ate_s < 0.10 and ate_f < 0.10, results
+    assert abs(ate_s - ate_f) < 0.02, results
