@@ -46,6 +46,20 @@ class DeviceExecutor:
     # slack (e.g. exhaustive matching on short sequences).
     BG_HOLDOFF = 0.0
 
+    # idle sections (prewarm compiles) are admitted only after the priority
+    # lane has been quiet for this long. MEASURED (r5, 100-image bench): each
+    # journal replay compile holds the device thread for seconds even on
+    # persistent-cache hits (trace + tunnel compile round-trip), and the
+    # 44-entry journal outlives the 39 s render window it was meant to hide
+    # in — the remainder drained through the mapper's inter-section gaps and
+    # every priority section queued behind an in-flight compile:
+    # exec_wait_prio 185.7 s / 331 sections, a 210 s stretch of registrations
+    # at 0.05-0.08 fps. With the quiet-period gate, prewarm runs during
+    # rendering/extraction and genuine mapper stalls (pair-feed waits), and
+    # mid-mapping shapes compile lazily on first use — paying only for shapes
+    # the run actually needs, inside the phase that needs them.
+    IDLE_HOLDOFF = 5.0
+
     def __init__(self):
         self._cv = threading.Condition()
         self._prio: deque = deque()
@@ -72,15 +86,23 @@ class DeviceExecutor:
                         kind = "prio"
                         fut, fn, args, kwargs = self._prio.popleft()
                         break
-                    holdoff = self._last_prio_end + self.BG_HOLDOFF - _time.monotonic()
-                    if (self._bg or self._idle) and holdoff <= 0:
-                        if self._bg:
-                            fut, fn, args, kwargs = self._bg.popleft()
-                        else:
-                            fut, fn, args, kwargs = self._idle.popleft()
+                    now = _time.monotonic()
+                    holdoff = self._last_prio_end + self.BG_HOLDOFF - now
+                    if self._bg and holdoff <= 0:
+                        fut, fn, args, kwargs = self._bg.popleft()
                         kind = "bg"
                         break
-                    self._cv.wait(timeout=holdoff if holdoff > 0 else None)
+                    idle_holdoff = self._last_prio_end + self.IDLE_HOLDOFF - now
+                    if self._idle and not self._bg and idle_holdoff <= 0:
+                        fut, fn, args, kwargs = self._idle.popleft()
+                        kind = "bg"
+                        break
+                    timeout = None
+                    if self._bg and holdoff > 0:
+                        timeout = holdoff
+                    elif self._idle and idle_holdoff > 0:
+                        timeout = idle_holdoff
+                    self._cv.wait(timeout=timeout)
             if not fut.set_running_or_notify_cancel():
                 continue
             try:

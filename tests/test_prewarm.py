@@ -61,3 +61,35 @@ def test_shipped_journal_is_loadable():
         assert isinstance(entries, list)
         for e in entries:
             assert "kind" in e
+
+
+def test_idle_sections_wait_for_quiet_priority_lane():
+    """Idle-class sections (prewarm compiles) must not interleave with an
+    active mapper: after a priority section, idle admission waits
+    IDLE_HOLDOFF (the r5 100-image bench lost 185 s of exec_wait_prio to
+    journal compiles draining through the mapper's inter-section gaps)."""
+    import threading
+    import time
+
+    from colmap_pcd_tpu.utils.device_lock import DeviceExecutor
+
+    ex = DeviceExecutor()
+    ex.IDLE_HOLDOFF = 0.6
+
+    # with no prior priority activity, idle runs immediately
+    ran = []
+    t = threading.Thread(target=lambda: ex.run(lambda: ran.append("idle0"), idle=True, priority=False))
+    t.start()
+    t.join(timeout=5)
+    assert ran == ["idle0"]
+
+    # a priority section stamps the lane busy; idle must hold off
+    ex.run(lambda: ran.append("prio"))
+    t0 = time.monotonic()
+    t = threading.Thread(target=lambda: ex.run(lambda: ran.append("idle1"), idle=True, priority=False))
+    t.start()
+    time.sleep(0.25)
+    assert "idle1" not in ran  # still inside the holdoff window
+    t.join(timeout=5)
+    assert "idle1" in ran
+    assert time.monotonic() - t0 >= 0.5  # admitted only after the quiet period
